@@ -1,0 +1,169 @@
+"""One crawl round as a declarative DataFrame plan.
+
+Pipeline (SURVEY.md §3.1): frontier → [robots broadcast-join gate] →
+[per-host politeness window] → [fetch = left join vs pages corpus] →
+[Arrow UDF extract links+text] → same-host filter (JVM-side) →
+crawl_log rows. Link discovery + seen dedup run over the *written*
+crawl_log (plans/crawl.py) so the extract UDF executes exactly once per
+round.
+
+Status codes follow the reference enum (cache.py:13-21): a fetched page
+is logged PARSED (download + parse happen in the same round), a robots
+block is DISALLOWED/403 and never fetched (downloader.py:63-67), a URL
+absent from the corpus is ERROR/404 (requests raise_for_status path,
+downloader.py:71-82).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkcrawler import schemas
+from sparkcrawler.functions.extract import extract_links_udf, extract_text_udf
+from sparkcrawler.operators.politeness import apply_politeness
+from sparkcrawler.operators.robots import apply_robots_gate
+
+FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "round", "attempt"]
+
+def trim_order():
+    """Deterministic total order used for the max_pages trim (SURVEY.md §7.3)."""
+    return [F.col("depth"), F.col("priority"), F.col("url_hash"), F.col("url")]
+
+
+@dataclass
+class RoundPlan:
+    """Lazy DataFrames for one round; caller persists/writes."""
+
+    crawl_log: DataFrame   # terminal rows logged this round
+    deferred: DataFrame    # politeness overflow + retryable errors → next frontier
+    admitted: DataFrame    # what passed trim+robots+politeness (pre-fetch)
+
+
+def build_round(
+    pages: DataFrame,
+    robots: DataFrame,
+    frontier: DataFrame,
+    run_id: str,
+    round_no: int,
+    *,
+    round_seconds: float = 60.0,
+    salt_buckets: int = 16,
+    max_admit: int | None = None,
+    retries: int = 1,
+) -> RoundPlan:
+    f = frontier.select(*FRONTIER_COLS)
+
+    # max_pages trim: the reference stops at completed_pages >= max_pages
+    # (cache.py:57-59); we admit only the remaining budget, in a
+    # deterministic total order, so the final visit set is reproducible.
+    if max_admit is not None:
+        f = f.orderBy(*trim_order()).limit(max_admit)
+
+    gated = apply_robots_gate(f, robots)
+    disallowed = gated.where(~F.col("allowed"))
+    allowed = gated.where(F.col("allowed"))
+
+    admitted, deferred = apply_politeness(
+        allowed, round_seconds=round_seconds, salt_buckets=salt_buckets
+    )
+
+    # fetch = left join into the corpus; prune to (url, html) so the scan
+    # reads only what the extract stage needs (column pruning).
+    fetched = admitted.join(
+        pages.select("url", "html"), "url", "left"
+    )
+
+    ok = fetched.where(F.col("html").isNotNull())
+    missing = fetched.where(F.col("html").isNull())
+
+    # one Arrow pass for links, one for text-length; the same-host filter
+    # is a builtin higher-order function over the canonical links
+    # (reference parser.py:38-39 netloc equality).
+    extracted = (
+        ok.withColumn("links_all", extract_links_udf(F.col("url"), F.col("html")))
+        .withColumn("text_extracted", extract_text_udf(F.col("html")))
+        .withColumn(
+            "links",
+            F.filter(
+                F.col("links_all"),
+                lambda x: F.parse_url(x, F.lit("HOST")) == F.col("host"),
+            ),
+        )
+        .drop("links_all", "html")
+    )
+
+    def log_row(df, status, code, with_links: bool):
+        links = F.col("links") if with_links else F.lit(None).cast("array<string>")
+        n_links = F.size("links").cast("int") if with_links else F.lit(None).cast("int")
+        text_len = (
+            F.length("text_extracted").cast("long")
+            if with_links
+            else F.lit(None).cast("long")
+        )
+        return df.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(round_no).cast("int").alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            F.col("depth").cast("int").alias("depth"),
+            F.lit(status).cast("int").alias("crawl_status"),
+            F.lit(code).cast("int").alias("status_code"),
+            links.alias("links"),
+            n_links.alias("n_links"),
+            text_len.alias("text_len"),
+        )
+
+    retryable = missing.where(F.col("attempt") + 1 < F.lit(retries))
+    dead = missing.where(F.col("attempt") + 1 >= F.lit(retries))
+
+    crawl_log = (
+        log_row(extracted, schemas.PARSED, 200, True)
+        .unionByName(log_row(disallowed, schemas.DISALLOWED, 403, False))
+        .unionByName(log_row(dead, schemas.ERROR, 404, False))
+    )
+
+    next_round = F.lit(round_no + 1).cast("int")
+    deferred_out = (
+        deferred.select(*FRONTIER_COLS)
+        .withColumn("round", next_round)
+        .unionByName(
+            retryable.select(*FRONTIER_COLS)
+            .withColumn("round", next_round)
+            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
+        )
+    )
+
+    return RoundPlan(
+        crawl_log=crawl_log,
+        deferred=deferred_out,
+        admitted=admitted.select(*FRONTIER_COLS),
+    )
+
+
+def discovered_links(crawl_log_round: DataFrame) -> DataFrame:
+    """Explode parsed pages' same-host links into frontier candidates.
+
+    Candidate identity (url_hash, host) is computed JVM-side
+    (xxhash64 + parse_url); within-round dedup keeps the minimum-depth
+    occurrence deterministically.
+    """
+    exploded = (
+        crawl_log_round.where(F.col("crawl_status") == schemas.PARSED)
+        .select(
+            F.explode("links").alias("url"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+            (F.col("round") + 1).cast("int").alias("round"),
+        )
+        .withColumn("url_hash", F.xxhash64(F.col("url")))
+        .withColumn(
+            "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+        )
+        .withColumn("priority", F.lit(1.0))
+        .withColumn("attempt", F.lit(0).cast("int"))
+    )
+    # first-writer-wins across pages in the same round: keep one row per
+    # url_hash (depth is constant within a round, so any row is the min).
+    return exploded.dropDuplicates(["url_hash"]).select(*FRONTIER_COLS)

@@ -1,0 +1,225 @@
+"""Differential tests: Spark crawl vs the pure-Python oracle, plus the
+dedup/stop/robots/politeness contracts from the reference test suite
+(reference tests/test_cache.py, tests/test_downloader.py).
+
+Crawl runs are expensive (many Spark jobs per round), so module-scoped
+fixtures run each configuration once and the tests assert on the shared
+results.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawler import oracle
+from sparkcrawler.plans.crawl import (
+    CrawlConfig,
+    crawl,
+    read_crawl_log,
+    read_lineage,
+    read_seen,
+)
+from sparkcrawler.sources.synth import (
+    page_url,
+    robots_df,
+    robots_rows,
+    synth_pages_df,
+    synth_pages_local,
+)
+
+N_PAGES, N_HOSTS = 200, 6
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    layout, rows = synth_pages_local(N_PAGES, N_HOSTS)
+    pages_map = {r["url"]: r["html"] for r in rows}
+    robots_map = {r["host"]: r for r in robots_rows(layout)}
+    _, pages = synth_pages_df(spark, N_PAGES, N_HOSTS)
+    pages = pages.cache()
+    pages.count()
+    return layout, pages_map, robots_map, pages, robots_df(spark, layout)
+
+
+def _crawl(spark, corpus, seed, cfg, keep_dir=False):
+    _, _, _, pages, rob = corpus
+    out = tempfile.mkdtemp(prefix="sc_test_")
+    res = crawl(spark, pages, rob, [seed], out, config=cfg)
+    log = read_crawl_log(spark, out).collect()
+    seen = {r["url"] for r in read_seen(spark, out).collect()}
+    if not keep_dir:
+        shutil.rmtree(out, ignore_errors=True)
+        out = None
+    return res, log, seen, out
+
+
+def _oracle(corpus, seed, cfg):
+    _, pages_map, robots_map, _, _ = corpus
+    return oracle.simulate(
+        pages_map, robots_map, [seed], max_pages=cfg.max_pages,
+        round_seconds=cfg.round_seconds, retries=cfg.retries,
+    )
+
+
+def _log_key(rows):
+    return sorted((r["url"], r["depth"], r["crawl_status"], r["status_code"]) for r in rows)
+
+
+# ---------------------------------------------------------- shared runs --
+
+FULL_CFG = CrawlConfig(max_pages=10_000)
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, corpus):
+    """Exhaustive crawl of host1 (no politeness budget), kept on disk."""
+    seed = page_url(1, 0)
+    res, log, seen, out = _crawl(spark, corpus, seed, FULL_CFG, keep_dir=True)
+    yield seed, res, log, seen, out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def mega_run(spark, corpus):
+    """Crawl of the mega-host host0 (robots + /private/ + crawl_delay)."""
+    seed = page_url(0, 0)
+    cfg = CrawlConfig(max_pages=40)
+    res, log, seen, _ = _crawl(spark, corpus, seed, cfg)
+    return seed, cfg, res, log, seen
+
+
+# ----------------------------------------------------------------- tests --
+
+
+def test_full_crawl_matches_oracle(spark, corpus, full_run):
+    seed, res, log, seen, _ = full_run
+    ores = _oracle(corpus, seed, FULL_CFG)
+    assert _log_key(log) == _log_key(ores.log)
+    assert seen == ores.seen
+    assert res.visited == ores.visited
+
+
+def test_orphans_unreachable(corpus, full_run):
+    """Last 10% of each host's pages have no in-links → never visited."""
+    layout = corpus[0]
+    _, _, log, _, _ = full_run
+    visited = {r["url"] for r in log}
+    assert visited
+    host1_count = layout.host_counts[1]
+    reach = host1_count - max(1, host1_count // 10)
+    for j in range(reach, host1_count):
+        assert page_url(1, j) not in visited
+
+
+def test_dedup_each_url_processed_once(full_run):
+    """First request_download wins (reference test_cache.py:72-86)."""
+    _, _, log, _, _ = full_run
+    urls = [r["url"] for r in log]
+    assert len(urls) == len(set(urls))
+
+
+def test_offsite_links_never_followed(full_run):
+    """Same-domain filter (reference tests/test_parser.py:16-34): a crawl
+    seeded on host1 must never visit another host."""
+    _, _, log, seen, _ = full_run
+    assert all(r["host"] == "host1.example" for r in log)
+    assert all("host1.example" in u for u in seen)
+
+
+def test_mega_host_matches_oracle(spark, corpus, mega_run):
+    seed, cfg, res, log, seen = mega_run
+    ores = _oracle(corpus, seed, cfg)
+    assert _log_key(log) == _log_key(ores.log)
+    assert seen == ores.seen
+    assert res.visited == ores.visited == 40
+
+
+def test_robots_disallowed_never_fetched(mega_run):
+    """Disallowed → 403 close, never fetched/parsed (reference
+    tests/test_downloader.py:56-71); host0 disallows /private/."""
+    _, _, _, log, _ = mega_run
+    private = [r for r in log if "/private/" in r["url"]]
+    assert private, "corpus must link some /private/ pages"
+    for r in private:
+        assert r["crawl_status"] == -1
+        assert r["status_code"] == 403
+        assert r["links"] is None
+    for r in log:
+        if "/private/" not in r["url"]:
+            assert r["status_code"] != 403
+
+
+def test_max_pages_stop_exact(spark, corpus):
+    """completed_pages >= max_pages ⇒ stop (reference test_cache.py:178-192),
+    with a deterministic trim of the final round."""
+    seed = page_url(1, 0)
+    cfg = CrawlConfig(max_pages=17)
+    res, log, seen, _ = _crawl(spark, corpus, seed, cfg)
+    ores = _oracle(corpus, seed, cfg)
+    assert res.visited == len(log) == 17
+    assert _log_key(log) == _log_key(ores.log)
+
+
+def test_broken_links_logged_404(spark, corpus):
+    """URLs absent from the corpus → ERROR/404 closed out (reference
+    downloader.py:71-82 raise path)."""
+    seed = "https://host1.example/p/999999"
+    cfg = CrawlConfig(max_pages=10)
+    res, log, seen, _ = _crawl(spark, corpus, seed, cfg)
+    assert len(log) == 1
+    assert log[0]["crawl_status"] == -2 and log[0]["status_code"] == 404
+    assert res.visited == 1
+
+
+def test_politeness_budget_enforced(spark, corpus):
+    """host0 has crawl_delay=2; with round_seconds=4 at most 2 host0
+    fetches per round; overflow defers to later rounds, not lost."""
+    seed = page_url(0, 0)
+    cfg = CrawlConfig(max_pages=8, round_seconds=4.0)
+    res, log, seen, _ = _crawl(spark, corpus, seed, cfg)
+    ores = _oracle(corpus, seed, cfg)
+    assert _log_key(log) == _log_key(ores.log)
+    per_round = {}
+    for r in log:
+        if r["crawl_status"] != -1:
+            per_round[r["round"]] = per_round.get(r["round"], 0) + 1
+    assert per_round and all(v <= 2 for v in per_round.values()), per_round
+    assert res.visited == 8
+
+
+def test_resume_bit_identical(spark, corpus, full_run):
+    """Kill after round 3, resume → state identical to the uninterrupted
+    run (north rule: resumable from checkpoint)."""
+    seed, _, log_full, seen_full, _ = full_run
+    _, _, _, pages, rob = corpus
+    out = tempfile.mkdtemp(prefix="sc_resume_")
+    try:
+        crawl(spark, pages, rob, [seed], out,
+              config=CrawlConfig(max_pages=10_000, max_rounds=3))
+        partial = read_crawl_log(spark, out).count()
+        crawl(spark, pages, rob, [seed], out, config=FULL_CFG)
+        log2 = read_crawl_log(spark, out).collect()
+        seen2 = {r["url"] for r in read_seen(spark, out).collect()}
+        assert partial < len(log2)
+        assert _log_key(log2) == _log_key(log_full)
+        assert seen2 == seen_full
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_lineage_totals_consistent(spark, full_run):
+    seed, res, log, _, out = full_run
+    lin = read_lineage(spark, out)
+    agg = lin.groupBy("round").agg(
+        F.sum("fetched").alias("fetched"),
+        F.sum("newly_discovered").alias("new"),
+    ).collect()
+    by_round = {r["round"]: r for r in agg}
+    for st in res.round_stats:
+        assert by_round[st["round"]]["new"] == st["new"]
+    total_fetched = sum(r["fetched"] for r in agg)
+    assert total_fetched == sum(1 for r in log if r["crawl_status"] == 2)

@@ -1,0 +1,61 @@
+"""URL-seen dedup operator: Bloom pre-filter ≡ plain anti-join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcrawler.operators.seen import PartitionedBloom, dedup_against_seen
+
+
+def _df(spark, vals):
+    return (
+        spark.createDataFrame([(v,) for v in vals], "url string")
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    seen = _df(spark, [f"https://h.example/p/{i}" for i in range(500)])
+    bloom = PartitionedBloom(num_shards=8, bits_per_shard=1 << 16)
+    bloom.update_from_df(seen)
+    assert bloom.n_added == 500
+    flags = (
+        seen.withColumn("m", bloom.maybe_seen_udf(spark)(F.col("url_hash")))
+        .select("m")
+        .collect()
+    )
+    assert all(r["m"] for r in flags)  # every member must hit
+
+
+def test_dedup_with_bloom_equals_plain_antijoin(spark):
+    """Tiny bitmap forces false positives → the exact anti-join backstop
+    must still produce identical output."""
+    seen = _df(spark, [f"https://h.example/p/{i}" for i in range(300)])
+    cands = _df(
+        spark,
+        [f"https://h.example/p/{i}" for i in range(200, 600)]
+        + [f"https://other.example/q/{i}" for i in range(50)],
+    )
+    plain = {
+        r["url"]
+        for r in cands.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
+    }
+    for bits in (1 << 10, 1 << 16, 1 << 22):  # high → low FP rate
+        bloom = PartitionedBloom(num_shards=4, bits_per_shard=bits)
+        bloom.update_from_df(seen)
+        got = {
+            r["url"] for r in dedup_against_seen(cands, seen, bloom, spark).collect()
+        }
+        assert got == plain, bits
+
+
+def test_bloom_update_local_matches_df_build(spark):
+    urls = [f"https://h.example/p/{i}" for i in range(50)]
+    df = _df(spark, urls)
+    hashes = [r["url_hash"] for r in df.collect()]
+    b1 = PartitionedBloom(num_shards=4, bits_per_shard=1 << 14)
+    b1.update_from_df(df)
+    b2 = PartitionedBloom(num_shards=4, bits_per_shard=1 << 14)
+    b2.update_local(hashes)
+    assert (b1.bitmaps == b2.bitmaps).all()
+    assert b1.n_added == b2.n_added == 50
