@@ -1,0 +1,860 @@
+"""Query surface: the engine's analytical read-side (SURVEY.md §3.3).
+
+The reference's read-side is ``SELECT * FROM urls`` over SQLite
+(reference data_conn.py:11-16); ours is the full DataFrame/SQL surface
+over the crawl tables plus the driver-provided testdata star schema.
+Every entry in :data:`CATALOG` pairs a Spark DataFrame builder with an
+equivalent DuckDB SQL oracle (or ``None`` for non-SQL-expressible ops —
+those get a rows-only check).
+
+Alignment rules (the driver hashes values after sorting columns by
+name): every computed column is aliased identically on both sides;
+doubles are rounded (2dp for money sums, 4dp for ratios) so
+summation-order differences between engines vanish; DuckDB integer
+sums are cast to BIGINT to match Spark's long; dates are emitted as
+``yyyy-MM-dd`` strings; every ORDER BY under a LIMIT carries a unique
+tiebreak column so the selected row *set* is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None          # DuckDB oracle (tables pre-registered as views)
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Relational core over the TPC-H-ish star schema
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide multi-agg groupBy — partial aggregation is
+    map-side, one shuffle on the 2 group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join; small dims broadcast."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def top3_customers_per_nation(spark, sf_dir):
+    """Top-K per group: the politeness-budget window shape (P2)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk"
+        )
+        .orderBy("n_name", "rnk")
+    )
+
+
+TOP3_SQL = """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal,
+       CAST(row_number() OVER (PARTITION BY n_name
+            ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+QUALIFY rnk <= 3
+ORDER BY n_name, rnk
+"""
+
+
+def customers_without_orders(spark, sf_dir):
+    """Anti-join — the URL-seen dedup shape (J1/J5) on relational data."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def events_sessionized(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumulative flags (streaming-ish
+    semantics done relationally; A4/round analog)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the NTZ→TZ cast
+    # is identity, matching DuckDB's naive-timestamp date_diff
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    return (
+        ev.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def monthly_order_growth(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return monthly.withColumn("prev_n", F.lag("n_orders").over(w)).orderBy(
+        "month"
+    )
+
+
+MONTHLY_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       lag(n_orders) OVER (ORDER BY month) AS prev_n
+FROM m ORDER BY month
+"""
+
+
+def part_brand_stats(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       min(p_size) AS min_size, max(p_size) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops over `documents` / `embeddings`
+# --------------------------------------------------------------------------
+
+
+def _words(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+def docs_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping the min doc_id (J1 analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+DEDUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+_MINHASH_K = 4
+
+
+def docs_minhash(spark, sf_dir):
+    """Word-level MinHash signature (k=4 salted md5 mins) — the
+    shingle→minhash step of near-dup detection."""
+    words = _words(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(_MINHASH_K)
+    ]
+    return words.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_SQL = """
+SELECT doc_id,
+       min(md5(w || '#0')) AS mh0, min(md5(w || '#1')) AS mh1,
+       min(md5(w || '#2')) AS mh2, min(md5(w || '#3')) AS mh3
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def docs_lsh_buckets(spark, sf_dir):
+    """LSH banding over the minhash signature: band = (mh0,mh1) prefix;
+    bucket sizes = candidate near-dup groups."""
+    sig = docs_minhash(spark, sf_dir)
+    band = F.concat(
+        F.substring("mh0", 1, 8), F.substring("mh1", 1, 8)
+    ).alias("band")
+    return (
+        sig.select("doc_id", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("band")
+    )
+
+
+LSH_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         min(md5(w || '#0')) AS mh0, min(md5(w || '#1')) AS mh1
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id
+)
+SELECT substr(mh0, 1, 8) || substr(mh1, 1, 8) AS band,
+       count(*) AS n_docs, min(doc_id) AS sample_doc
+FROM sig GROUP BY 1 HAVING count(*) > 1 ORDER BY band
+"""
+
+
+def docs_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard over a bounded candidate set (doc_id<60):
+    the verify step after LSH candidate generation."""
+    w = (
+        _words(spark, sf_dir)
+        .where(F.col("doc_id") < 60)
+        .dropDuplicates(["doc_id", "w"])
+    )
+    counts = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+JACCARD_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    WHERE doc_id < 60
+  ) WHERE w <> ''
+),
+c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(ninter * 1.0 / (ca.n + cb.n - ninter), 4) AS jaccard
+FROM inter
+JOIN c ca ON ca.doc_id = id_a
+JOIN c cb ON cb.doc_id = id_b
+WHERE round(ninter * 1.0 / (ca.n + cb.n - ninter), 4) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def docs_simhash(spark, sf_dir):
+    """8-bit SimHash: per word, bit i = high bit of the i-th md5 nibble;
+    per doc, fingerprint bit = sign of the weighted bit sum."""
+    words = _words(spark, sf_dir).withColumn(
+        "h", F.md5(F.col("w").cast("binary"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin(_HEX_HIGH), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(8)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(8):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select(
+        "doc_id", fp.cast("long").alias("simhash8")
+    ).orderBy("doc_id")
+
+
+SIMHASH_SQL = """
+WITH words AS (
+  SELECT doc_id, md5(w) AS h FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({fp} AS BIGINT) AS simhash8
+FROM sums ORDER BY doc_id
+""".format(
+    sums=",\n         ".join(
+        "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS s{i}".format(p=i + 1, i=i)
+        for i in range(8)
+    ),
+    fp=" + ".join(
+        "(CASE WHEN s{i} > 0 THEN {v} ELSE 0 END)".format(i=i, v=2 ** i)
+        for i in range(8)
+    ),
+)
+
+
+def docs_token_stats(spark, sf_dir):
+    """Token counting + quality features (length, alpha ratio)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_ws"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long").alias("n_alpha"),
+    ).orderBy("doc_id")
+
+
+TOKENS_SQL = """
+SELECT doc_id, lang,
+       length(text) AS text_len,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+       length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+FROM documents ORDER BY doc_id
+"""
+
+_STOPWORDS = ["the", "a", "join", "group", "order"]
+
+
+def docs_lang_quality(spark, sf_dir):
+    """Stopword-ratio quality score + threshold language flag — the
+    deterministic heuristic both engines compute identically."""
+    words = _words(spark, sf_dir)
+    agg = words.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w").isin(_STOPWORDS), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_stop"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    ratio = F.round(F.col("n_stop") / F.col("n_words"), 4)
+    return (
+        agg.withColumn("stop_ratio", ratio)
+        .withColumn(
+            "lang_guess",
+            F.when(F.col("stop_ratio") > 0.05, F.lit("en")).otherwise(
+                F.lit("other")
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANG_SQL = """
+WITH agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w IN ('the','a','join','group','order')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         count(*) AS n_words
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id
+)
+SELECT doc_id, n_stop, n_words,
+       round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+       CASE WHEN round(n_stop * 1.0 / n_words, 4) > 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM agg ORDER BY doc_id
+"""
+
+
+def docs_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        h.alias("fp"),
+        F.substring(h, 1, 2).alias("bucket"),
+    ).orderBy("doc_id")
+
+
+FP_SQL = """
+SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 2) AS bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---- similarity search over embeddings -----------------------------------
+
+
+def _dbl(col):
+    return F.col(col).cast("array<double>")
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector — the
+    exact baseline for ANN; dot/norms via builtin higher-order fns
+    (zip_with + aggregate), no Python in the loop."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(_dbl("embedding").alias("q"))
+    cand = emb.where(F.col("vec_id") > 0).select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(dot / (norm("e") * norm("q")), 4))
+        .select("vec_id", "label", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+ANN_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q), 4) AS cos
+FROM embeddings, q
+WHERE vec_id > 0
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+def embeddings_centroids(spark, sf_dir):
+    """Per-label centroid: posexplode → groupBy(label, dim) avg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(_dbl("embedding")).alias("p", "val"))
+        .select("label", (F.col("p") + 1).cast("long").alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+CENTROID_SQL = """
+SELECT label, CAST(dim AS BIGINT) AS dim, round(avg(val), 4) AS centroid
+FROM (SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def embeddings_label_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(_dbl("embedding"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+NORMS_SQL = """
+WITH n AS (
+  SELECT vec_id, label, sqrt(sum(val * val)) AS nrm
+  FROM (SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)
+  GROUP BY vec_id, label
+)
+SELECT label, count(*) AS n_vecs, round(avg(nrm), 4) AS avg_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Crawl-engine queries (non-SQL-expressible: UDF extraction + iterative BFS
+# → rows-only checks)
+# --------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _demo_crawl_dir(spark) -> str:
+    """Run the flagship crawl once per process over the deterministic
+    synthetic corpus; reuse its output dir for the crawl queries."""
+    key = "demo"
+    if key not in _CRAWL_CACHE:
+        import tempfile
+
+        from sparkcrawler.plans.crawl import CrawlConfig, crawl
+        from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+
+        layout, pages = synth_pages_df(spark, 150, 5)
+        pages = pages.persist()
+        out = tempfile.mkdtemp(prefix="sc_demo_crawl_")
+        crawl(
+            spark, pages, robots_df(spark, layout), [page_url(0, 0)], out,
+            run_id="demo", config=CrawlConfig(max_pages=60),
+        )
+        pages.unpersist()
+        _CRAWL_CACHE[key] = out
+    return _CRAWL_CACHE[key]
+
+
+def crawl_visits_by_depth(spark, sf_dir):
+    """BFS crawl over the synthetic web; visits per depth × status."""
+    from sparkcrawler.plans.crawl import read_crawl_log
+
+    log = read_crawl_log(spark, _demo_crawl_dir(spark))
+    return (
+        log.groupBy("depth", "crawl_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_links"), 4).alias("avg_links"),
+        )
+        .orderBy("depth", "crawl_status")
+    )
+
+
+def crawl_lineage_by_round(spark, sf_dir):
+    from sparkcrawler.plans.crawl import read_lineage
+
+    lin = read_lineage(spark, _demo_crawl_dir(spark))
+    return (
+        lin.groupBy("round")
+        .agg(
+            F.sum("frontier_in").alias("frontier_in"),
+            F.sum("fetched").alias("fetched"),
+            F.sum("deduped").alias("deduped"),
+            F.sum("newly_discovered").alias("newly_discovered"),
+        )
+        .orderBy("round")
+    )
+
+
+def pages_outdegree_hist(spark, sf_dir):
+    """Link-extraction UDF exercised standalone: out-degree histogram
+    of the synthetic corpus (same-host links only)."""
+    from sparkcrawler.functions.extract import extract_links_udf
+    from sparkcrawler.sources.synth import synth_pages_df
+
+    _, pages = synth_pages_df(spark, 150, 5, with_sitemaps=False)
+    deg = pages.select(
+        F.size(
+            F.filter(
+                extract_links_udf("url", "html"),
+                lambda x: F.parse_url(x, F.lit("HOST"))
+                == F.parse_url(F.col("url"), F.lit("HOST")),
+            )
+        ).alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy("degree")
+    )
+
+
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
+    "q5_region_revenue": QuerySpec(q5_region_revenue, Q5_SQL),
+    "top3_customers_per_nation": QuerySpec(top3_customers_per_nation, TOP3_SQL),
+    "customers_without_orders": QuerySpec(customers_without_orders, ANTI_SQL),
+    "events_sessionized": QuerySpec(events_sessionized, SESSION_SQL),
+    "events_daily": QuerySpec(events_daily, DAILY_SQL),
+    "monthly_order_growth": QuerySpec(monthly_order_growth, MONTHLY_SQL),
+    "part_brand_stats": QuerySpec(part_brand_stats, PART_SQL),
+    "docs_dedup_exact": QuerySpec(docs_dedup_exact, DEDUP_SQL),
+    "docs_minhash": QuerySpec(docs_minhash, MINHASH_SQL),
+    "docs_lsh_buckets": QuerySpec(docs_lsh_buckets, LSH_SQL),
+    "docs_jaccard_pairs": QuerySpec(docs_jaccard_pairs, JACCARD_SQL),
+    "docs_simhash": QuerySpec(docs_simhash, SIMHASH_SQL),
+    "docs_token_stats": QuerySpec(docs_token_stats, TOKENS_SQL),
+    "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
+    "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
+    "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
+    "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
+    "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
+    # crawl-engine ops: UDF extraction + iterative BFS — no SQL analog
+    "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, None),
+    "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, None),
+    "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.sql.strip()
+        for name, spec in CATALOG.items()
+        if spec.sql is not None
+    }
