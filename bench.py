@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract).
+
+Two workloads, one JSON line on stdout:
+
+1. **Crawl throughput** (the BASELINE.json metric: URLs crawled+deduped
+   per second): exhaustive BFS crawl of a deterministic synthetic web
+   corpus (wide fan-out → few, large rounds; mega-host skew + robots +
+   politeness window + Bloom-dedup all active).
+2. **Headline queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1): per-query wall seconds.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  SPARK_BENCH_PAGES    crawl corpus size (default 60000)
+  SPARK_BENCH_FANOUT   link-tree fanout (default 32)
+  SPARK_BENCH_PARAS    extra text paragraphs per page (default 20)
+  SPARK_BENCH_SKIP_QUERIES / SPARK_BENCH_SKIP_CRAWL  set to skip a part
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+N_BUCKETS = 64
+
+
+def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 100):
+    """Generate (or reuse) the bench corpus parquet, hash-bucket
+    partitioned by url (Iceberg-bucket layout): the crawl prunes each
+    round's fetch scan to the frontier's buckets. Generation is
+    distributed (mapInPandas)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawler.sources.synth import CorpusLayout, synth_pages_df
+
+    cache = (
+        f"/tmp/sparkcrawler_bench/corpus_p{n_pages}_f{fanout}_x{paras}"
+        f"_h{n_hosts}_b{N_BUCKETS}"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        shutil.rmtree(cache, ignore_errors=True)
+        layout, pages = synth_pages_df(
+            spark, n_pages, n_hosts, with_sitemaps=False,
+            fanout=fanout, extra_paras=paras,
+        )
+        pages.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS))
+        ).write.mode("overwrite").partitionBy("url_bucket").parquet(cache)
+    layout = CorpusLayout.build(n_pages, n_hosts, fanout, paras)
+    return layout, spark.read.parquet(cache)
+
+
+def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
+    from sparkcrawler.plans.crawl import CrawlConfig, crawl
+    from sparkcrawler.sources.synth import page_url, robots_df
+
+    layout, pages = build_corpus(spark, n_pages, fanout, paras)
+    robots = robots_df(spark, layout)
+    seeds = [page_url(h, 0) for h in range(layout.n_hosts)]
+    out = tempfile.mkdtemp(prefix="sc_bench_crawl_")
+    try:
+        cfg = CrawlConfig(
+            max_pages=2 * n_pages,
+            round_seconds=1e6,   # politeness window active, budget ample
+            salt_buckets=32,
+            max_rounds=100,
+            corpus_buckets=N_BUCKETS,
+            bloom_update_min_batch=20_000,
+        )
+        t0 = time.time()
+        res = crawl(spark, pages, robots, seeds, out, run_id="bench", config=cfg)
+        wall = time.time() - t0
+        return {
+            "crawl_sec": round(wall, 2),
+            "crawl_visited": res.visited,
+            "crawl_rounds": res.rounds,
+            "urls_per_sec": round(res.visited / wall, 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top3_customers_per_nation",
+    "events_sessionized",
+    "docs_minhash",
+    "docs_lsh_buckets",
+    "docs_simhash",
+    "ann_cosine_topk",
+    "embeddings_centroids",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    from sparkcrawler.analytics import CATALOG
+
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        rows = CATALOG[name].spark(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows, name
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = _env_int("SPARK_GRAFT_CPUS", 32)
+    n_pages = _env_int("SPARK_BENCH_PAGES", 60000)
+    fanout = _env_int("SPARK_BENCH_FANOUT", 128)
+    paras = _env_int("SPARK_BENCH_PARAS", 240)
+
+    from sparkcrawler.session import get_spark
+
+    spark = get_spark(
+        "sparkcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    result: dict = {
+        "metric": "crawl+query wall time",
+        "unit": "sec",
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "cpus": cpus,
+        "queries": {},
+    }
+
+    total = 0.0
+    if not os.environ.get("SPARK_BENCH_SKIP_CRAWL"):
+        crawl_stats = bench_crawl(spark, n_pages, fanout, paras)
+        result.update(crawl_stats)
+        result["queries"]["crawl"] = crawl_stats["crawl_sec"]
+        total += crawl_stats["crawl_sec"]
+    if not os.environ.get("SPARK_BENCH_SKIP_QUERIES"):
+        q = bench_queries(spark, sf_dir)
+        result["queries"].update(q)
+        total += sum(q.values())
+    result["value"] = round(total, 2)
+
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

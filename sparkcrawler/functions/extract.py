@@ -29,7 +29,13 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from sparkcrawler.functions.urlnorm import canonicalize
 
@@ -60,6 +66,37 @@ class _TextParser(HTMLParser):
         self._skip_depth = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0:
+            self.chunks.append(data)
+
+
+class _PageParser(HTMLParser):
+    """One tokenizer pass collecting BOTH hrefs and text chunks — the
+    crawl hot path; must agree exactly with _LinkParser + _TextParser
+    (asserted in tests)."""
+
+    _SKIP = {"script", "style"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+                    break
         if tag in self._SKIP:
             self._skip_depth += 1
 
@@ -121,7 +158,46 @@ def extract_text_py(html) -> str:
     return "".join(parser.chunks)
 
 
+def extract_page_py(url: str, html) -> tuple[list[str], str]:
+    """(canonical links all-hosts, extracted text) in ONE tokenizer pass."""
+    content = _as_str(html)
+    if not content:
+        return [], ""
+    parser = _PageParser()
+    try:
+        parser.feed(content)
+        parser.close()
+    except Exception:
+        return [], ""
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.hrefs:
+        link = canonicalize(url, href)
+        if link and link not in seen:
+            seen.add(link)
+            out.append(link)
+    return out, "".join(parser.chunks)
+
+
 # ---------------------------------------------------------------- UDFs --
+
+_PAGE_SCHEMA = StructType(
+    [
+        StructField("links", ArrayType(StringType())),
+        StructField("text_len", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Hot-path UDF: links + text length in one Arrow batch, one parse."""
+    links, tlen = [], []
+    for u, h in zip(url, html):
+        ls, text = extract_page_py(u, h)
+        links.append(ls)
+        tlen.append(len(text))
+    return pd.DataFrame({"links": links, "text_len": tlen})
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -27,21 +27,24 @@ def _order():
     return [F.col("depth"), F.col("priority"), F.col("url_hash"), F.col("url")]
 
 
-def apply_politeness(
+def politeness_decided(
     frontier: DataFrame,
     round_seconds: float = 60.0,
     salt_buckets: int = 16,
-) -> tuple[DataFrame, DataFrame]:
-    """Split frontier → (admitted, deferred) under per-host budgets.
+) -> DataFrame:
+    """Tag each frontier row with ``_admitted`` under per-host budgets.
 
     ``frontier`` must already carry ``crawl_delay`` (from the robots
     gate). Hosts with NULL/0 delay have no budget — admitted without
-    any shuffle.
+    any shuffle. Returning ONE tagged DataFrame (instead of two plans)
+    lets the caller persist it so the admitted and deferred branches
+    share the window computation across the round's jobs.
     """
+    cols = [c for c in frontier.columns]
     budget = F.floor(F.lit(round_seconds) / F.col("crawl_delay")).cast("int")
     has_budget = F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0)
 
-    free = frontier.where(~has_budget)
+    free = frontier.where(~has_budget).withColumn("_admitted", F.lit(True))
     budgeted = frontier.where(has_budget).withColumn(
         "_budget", F.greatest(budget, F.lit(1))
     )
@@ -53,17 +56,30 @@ def apply_politeness(
     ).orderBy(*_order())
     pre = budgeted.withColumn("_rs", F.row_number().over(salted))
     survivors = pre.where(F.col("_rs") <= F.col("_budget")).drop("_rs")
-    pre_deferred = pre.where(F.col("_rs") > F.col("_budget")).drop("_rs")
+    pre_deferred = (
+        pre.where(F.col("_rs") > F.col("_budget"))
+        .select(*cols)
+        .withColumn("_admitted", F.lit(False))
+    )
 
     # phase 2: exact per-host rank on ≤ salt_buckets×budget rows per host.
     exact = Window.partitionBy("host").orderBy(*_order())
-    ranked = survivors.withColumn("_rn", F.row_number().over(exact))
-    admitted_budgeted = ranked.where(F.col("_rn") <= F.col("_budget")).drop(
-        "_rn", "_budget"
+    ranked = (
+        survivors.withColumn("_rn", F.row_number().over(exact))
+        .withColumn("_admitted", F.col("_rn") <= F.col("_budget"))
+        .select(*cols, "_admitted")
     )
-    deferred = ranked.where(F.col("_rn") > F.col("_budget")).drop(
-        "_rn", "_budget"
-    ).unionByName(pre_deferred.drop("_budget"))
+    return free.unionByName(ranked).unionByName(pre_deferred)
 
-    admitted = free.unionByName(admitted_budgeted)
-    return admitted, deferred
+
+def apply_politeness(
+    frontier: DataFrame,
+    round_seconds: float = 60.0,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """(admitted, deferred) split view over :func:`politeness_decided`."""
+    decided = politeness_decided(frontier, round_seconds, salt_buckets)
+    return (
+        decided.where(F.col("_admitted")).drop("_admitted"),
+        decided.where(~F.col("_admitted")).drop("_admitted"),
+    )

@@ -121,17 +121,28 @@ def dedup_against_seen(
     seen: DataFrame,
     bloom: PartitionedBloom | None = None,
     spark: SparkSession | None = None,
+    seen_uncovered: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is NOT in ``seen``.
 
-    With a Bloom filter, definite-misses bypass the anti-join shuffle;
-    only suspects are joined. Exactly equivalent to the plain anti-join.
+    With a Bloom filter, definite-misses bypass the big anti-join;
+    only suspects are joined against the full seen set. Exactly
+    equivalent to the plain anti-join.
+
+    ``seen_uncovered`` = seen rows added AFTER the bloom's last update
+    (the bloom+delta design: updates may be batched, but definite-new
+    rows must still be checked against the small uncovered delta —
+    otherwise a stale bloom would re-admit recently seen URLs).
     """
     if bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
     maybe = bloom.maybe_seen_udf(spark or candidates.sparkSession)
     flagged = candidates.withColumn("_maybe", maybe(F.col("url_hash")))
     definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+    if seen_uncovered is not None:
+        definite_new = definite_new.join(
+            seen_uncovered.select("url_hash"), "url_hash", "left_anti"
+        )
     suspects = (
         flagged.where(F.col("_maybe"))
         .drop("_maybe")

@@ -41,6 +41,14 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 22
     lineage: bool = True
+    # >0 and pages carries an url_bucket partition column → per-round
+    # partition pruning of the fetch scan (Iceberg-bucket semantics)
+    corpus_buckets: int = 0
+    # skip the Bloom update for small new-URL batches: the filter only
+    # pays off when candidate volume is large, and a stale (smaller)
+    # bloom is still correct — unseen suspects just take the exact
+    # anti-join. Keeps tail rounds from paying a fixed build job.
+    bloom_update_min_batch: int = 1
 
 
 @dataclass
@@ -142,20 +150,43 @@ def _collect_metrics(log_df, discovered, fr_next) -> dict:
 
 
 def _write_lineage_rows(spark, out_dir, run_id, r, per_partition: dict) -> None:
-    rows = []
-    for pid, m in sorted(per_partition.items()):
-        rows.append(
-            (
-                run_id, r, pid,
-                m.get("processed", 0),
-                m.get("fetched", 0),
-                max(m.get("discovered", 0) - m.get("newly_discovered", 0), 0),
-                m.get("newly_discovered", 0),
-            )
-        )
-    spark.createDataFrame(rows, schemas.LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_p(out_dir, "lineage", f"r{r}"))
+    """Lineage rows are a handful of counters — written driver-side with
+    pyarrow (a Spark job for ~10 rows costs seconds of scheduling)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pids = sorted(per_partition)
+    table = pa.table(
+        {
+            "run_id": pa.array([run_id] * len(pids), pa.string()),
+            "round": pa.array([r] * len(pids), pa.int32()),
+            "partition_id": pa.array(pids, pa.int32()),
+            "frontier_in": pa.array(
+                [per_partition[p].get("processed", 0) for p in pids], pa.int64()
+            ),
+            "fetched": pa.array(
+                [per_partition[p].get("fetched", 0) for p in pids], pa.int64()
+            ),
+            "deduped": pa.array(
+                [
+                    max(
+                        per_partition[p].get("discovered", 0)
+                        - per_partition[p].get("newly_discovered", 0),
+                        0,
+                    )
+                    for p in pids
+                ],
+                pa.int64(),
+            ),
+            "newly_discovered": pa.array(
+                [per_partition[p].get("newly_discovered", 0) for p in pids],
+                pa.int64(),
+            ),
+        }
+    )
+    d = _p(out_dir, "lineage", f"r{r}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
 
 
 def crawl(
@@ -219,6 +250,7 @@ def crawl(
     # Bloom filter over everything ever seen (rebuilt on resume from the
     # committed seen table — filters only skip definite-misses).
     bloom = None
+    bloom_covered = next_round  # bloom contains seen rows with round_added <= this
     if cfg.use_bloom:
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
         bloom.update_from_df(
@@ -226,6 +258,13 @@ def crawl(
                 F.col("round_added") <= F.lit(next_round)
             )
         )
+
+    trace = bool(os.environ.get("SPARKCRAWLER_TRACE"))
+
+    def _tr(label: str, t_start: float) -> None:
+        if trace:
+            print(f"[round-trace] {label}: {time.time() - t_start:.2f}s",
+                  file=__import__('sys').stderr)
 
     stats: list[dict] = []
     r = next_round
@@ -246,18 +285,43 @@ def crawl(
         remaining = cfg.max_pages - visited
         max_admit = remaining if frontier_count > remaining else None
 
+        t_round = time.time()
+        # bucket set of this round's frontier → fetch-scan pruning; only
+        # worth a (tiny) extra job when the frontier plausibly misses
+        # buckets
+        frontier_buckets = None
+        if cfg.corpus_buckets and frontier_count < 4 * cfg.corpus_buckets:
+            frontier_buckets = [
+                row[0]
+                for row in frontier.select(
+                    F.pmod(F.col("url_hash"), F.lit(cfg.corpus_buckets))
+                ).distinct().collect()
+            ]
+            _tr(f"r{r} bucket probe ({len(frontier_buckets)} buckets)", t_round)
         plan = build_round(
             pages, robots, frontier, run_id, r,
             round_seconds=cfg.round_seconds,
             salt_buckets=cfg.salt_buckets,
             max_admit=max_admit,
             retries=cfg.retries,
+            frontier_count=frontier_count,
+            frontier_buckets=frontier_buckets,
         )
+        # windows compute once: both the crawl_log job and the
+        # next-frontier job read the politeness decision from cache
+        plan.decided.persist()
+        plan.extracted.persist()
+        _tr(f"r{r} plan build", t_round)
 
         # ---- job 1 (heavy): the round's crawl_log — one UDF execution ----
-        plan.crawl_log.write.mode("overwrite").parquet(
+        par = spark.sparkContext.defaultParallelism
+        t1 = time.time()
+        # coalesce to the core count: a union of three branches would
+        # otherwise emit 100+ tiny files whose later scans cost a task each
+        plan.crawl_log.coalesce(par).write.mode("overwrite").parquet(
             _p(out_dir, "crawl_log", f"r{r}")
         )
+        _tr(f"r{r} crawl_log write", t1)
         log_df = spark.read.parquet(_p(out_dir, "crawl_log", f"r{r}"))
 
         # ---- job 2: next frontier = politeness-deferred ∪ (discovered ∖ seen)
@@ -270,37 +334,59 @@ def crawl(
         seen_all = _read_tree(spark, _p(out_dir, "seen")).where(
             F.col("round_added") <= F.lit(r)
         )
-        discovered = discovered_links(log_df)
-        new_links = dedup_against_seen(discovered, seen_all, bloom, spark)
+        discovered = discovered_links(plan.extracted)
+        seen_uncovered = (
+            seen_all.where(F.col("round_added") > F.lit(bloom_covered))
+            if bloom is not None and bloom_covered < r
+            else None
+        )
+        new_links = dedup_against_seen(
+            discovered, seen_all, bloom, spark, seen_uncovered
+        )
         next_frontier = plan.deferred.withColumn(
             "is_new", F.lit(False)
         ).unionByName(
             new_links.select(*FRONTIER_COLS).withColumn("is_new", F.lit(True))
         )
-        next_frontier.write.mode("overwrite").parquet(
+        t2 = time.time()
+        next_frontier.coalesce(par).write.mode("overwrite").parquet(
             _p(out_dir, "frontier", f"r{r + 1}")
         )
+        _tr(f"r{r} frontier write", t2)
         fr_next = spark.read.parquet(_p(out_dir, "frontier", f"r{r + 1}"))
 
         # ---- job 3 (cheap): seen delta from the written frontier ----
+        t3 = time.time()
         fr_next.where(F.col("is_new")).select(
             "url_hash", "url", F.lit(r + 1).cast("int").alias("round_added")
         ).write.mode("overwrite").parquet(_p(out_dir, "seen", f"r{r + 1}"))
+        _tr(f"r{r} seen write", t3)
 
         # ---- job 4 (cheap): one metrics pass over the committed files ——
         # feeds BOTH the driver's loop decisions and the lineage table.
+        t4 = time.time()
         metrics = _collect_metrics(log_df, discovered, fr_next)
+        _tr(f"r{r} metrics", t4)
         processed = metrics["totals"].get("processed", 0)
         n_new = metrics["totals"].get("newly_discovered", 0)
         n_deferred = metrics["totals"].get("deferred", 0)
 
         if cfg.lineage:  # tiny driver-built write
+            t6 = time.time()
             _write_lineage_rows(spark, out_dir, run_id, r, metrics["per_partition"])
+            _tr(f"r{r} lineage write", t6)
 
-        if bloom is not None and n_new > 0:
+        if bloom is not None and n_new >= cfg.bloom_update_min_batch:
+            t5 = time.time()
+            # fold in this round's delta AND any previously skipped rounds
             bloom.update_from_df(
-                spark.read.parquet(_p(out_dir, "seen", f"r{r + 1}"))
+                _read_tree(spark, _p(out_dir, "seen")).where(
+                    (F.col("round_added") > F.lit(bloom_covered))
+                    & (F.col("round_added") <= F.lit(r + 1))
+                )
             )
+            bloom_covered = r + 1
+            _tr(f"r{r} bloom update", t5)
 
         _commit(out_dir, str(r), {"processed": processed, "new": n_new})
         visited += processed
@@ -308,7 +394,10 @@ def crawl(
             {"round": r, "frontier_in": frontier_count, "processed": processed,
              "new": n_new, "deferred": n_deferred}
         )
+        plan.decided.unpersist()
+        plan.extracted.unpersist()
         frontier_count = n_new + n_deferred
+        _tr(f"r{r} TOTAL", t_round)
         r += 1
 
     _append_run_event(

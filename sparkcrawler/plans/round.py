@@ -21,8 +21,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from sparkcrawler import schemas
-from sparkcrawler.functions.extract import extract_links_udf, extract_text_udf
-from sparkcrawler.operators.politeness import apply_politeness
+from sparkcrawler.functions.extract import extract_page_udf
+from sparkcrawler.operators.politeness import politeness_decided
 from sparkcrawler.operators.robots import apply_robots_gate
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "round", "attempt"]
@@ -39,6 +39,11 @@ class RoundPlan:
     crawl_log: DataFrame   # terminal rows logged this round
     deferred: DataFrame    # politeness overflow + retryable errors → next frontier
     admitted: DataFrame    # what passed trim+robots+politeness (pre-fetch)
+    decided: DataFrame     # politeness-tagged frontier — persist across the
+                           # round's jobs so the windows compute once
+    extracted: DataFrame   # fetched+extracted rows (FRONTIER_COLS + links) —
+                           # persist so discovery reads the UDF output from
+                           # cache instead of re-scanning the written log
 
 
 def build_round(
@@ -52,6 +57,9 @@ def build_round(
     salt_buckets: int = 16,
     max_admit: int | None = None,
     retries: int = 1,
+    frontier_count: int | None = None,
+    broadcast_frontier_limit: int = 2_000_000,
+    frontier_buckets: list[int] | None = None,
 ) -> RoundPlan:
     f = frontier.select(*FRONTIER_COLS)
 
@@ -65,40 +73,60 @@ def build_round(
     disallowed = gated.where(~F.col("allowed"))
     allowed = gated.where(F.col("allowed"))
 
-    admitted, deferred = apply_politeness(
+    decided = politeness_decided(
         allowed, round_seconds=round_seconds, salt_buckets=salt_buckets
     )
+    admitted = decided.where(F.col("_admitted")).drop("_admitted")
+    deferred = decided.where(~F.col("_admitted")).drop("_admitted")
 
-    # fetch = left join into the corpus; prune to (url, html) so the scan
+    # fetch = left join into the corpus, pruned to (url, html) so the scan
     # reads only what the extract stage needs (column pruning).
-    fetched = admitted.join(
-        pages.select("url", "html"), "url", "left"
-    )
+    #
+    # Join strategy is chosen driver-side from the carried frontier count:
+    # a crawl frontier is tiny in bytes relative to the corpus, so when it
+    # fits we BROADCAST the frontier and stream the corpus past it
+    # (right_outer keeps the left-join-from-admitted semantics) — no
+    # corpus shuffle, no sort, one scan per round. Past the threshold
+    # (deep-web rounds at 10^10 scale) we fall back to a shuffle join,
+    # which on a cluster runs against a corpus bucketed by url so only
+    # the frontier side moves.
+    # Partition pruning (Iceberg-bucket semantics): when the corpus is
+    # stored partitioned by url_bucket = pmod(xxhash64(url), NB), a
+    # round that only touches a few buckets scans only those partition
+    # directories — late, small rounds stop paying for full corpus scans.
+    corpus = pages
+    if frontier_buckets is not None and "url_bucket" in pages.columns:
+        corpus = corpus.where(F.col("url_bucket").isin(frontier_buckets))
+    corpus = corpus.select("url", "html")
+    if frontier_count is not None and frontier_count <= broadcast_frontier_limit:
+        fetched = corpus.join(F.broadcast(admitted), "url", "right_outer")
+    else:
+        fetched = admitted.join(corpus, "url", "left")
 
     ok = fetched.where(F.col("html").isNotNull())
     missing = fetched.where(F.col("html").isNull())
 
-    # one Arrow pass for links, one for text-length; the same-host filter
+    # ONE Arrow pass extracts links + text length; the same-host filter
     # is a builtin higher-order function over the canonical links
-    # (reference parser.py:38-39 netloc equality).
+    # (reference parser.py:38-39 netloc equality), JVM-side.
     extracted = (
-        ok.withColumn("links_all", extract_links_udf(F.col("url"), F.col("html")))
-        .withColumn("text_extracted", extract_text_udf(F.col("html")))
+        ok.withColumn("_page", extract_page_udf(F.col("url"), F.col("html")))
         .withColumn(
             "links",
             F.filter(
-                F.col("links_all"),
+                F.col("_page.links"),
                 lambda x: F.parse_url(x, F.lit("HOST")) == F.col("host"),
             ),
         )
-        .drop("links_all", "html")
+        .withColumn("_text_len", F.col("_page.text_len"))
+        .drop("_page", "html")
     )
 
     def log_row(df, status, code, with_links: bool):
         links = F.col("links") if with_links else F.lit(None).cast("array<string>")
         n_links = F.size("links").cast("int") if with_links else F.lit(None).cast("int")
         text_len = (
-            F.length("text_extracted").cast("long")
+            F.col("_text_len").cast("long")
             if with_links
             else F.lit(None).cast("long")
         )
@@ -140,19 +168,24 @@ def build_round(
         crawl_log=crawl_log,
         deferred=deferred_out,
         admitted=admitted.select(*FRONTIER_COLS),
+        decided=decided,
+        extracted=extracted.select(*FRONTIER_COLS, "links"),
     )
 
 
-def discovered_links(crawl_log_round: DataFrame) -> DataFrame:
+def discovered_links(parsed: DataFrame) -> DataFrame:
     """Explode parsed pages' same-host links into frontier candidates.
 
-    Candidate identity (url_hash, host) is computed JVM-side
-    (xxhash64 + parse_url); within-round dedup keeps the minimum-depth
-    occurrence deterministically.
+    ``parsed`` needs (links, depth, round) — either the persisted
+    extracted cache (hot path: no crawl_log re-scan) or a crawl_log
+    filtered to PARSED rows. Candidate identity (url_hash, host) is
+    computed JVM-side (xxhash64 + parse_url); within-round dedup keeps
+    one row per url_hash (depth is constant within a round).
     """
+    if "crawl_status" in parsed.columns:
+        parsed = parsed.where(F.col("crawl_status") == schemas.PARSED)
     exploded = (
-        crawl_log_round.where(F.col("crawl_status") == schemas.PARSED)
-        .select(
+        parsed.select(
             F.explode("links").alias("url"),
             (F.col("depth") + 1).cast("int").alias("depth"),
             (F.col("round") + 1).cast("int").alias("round"),

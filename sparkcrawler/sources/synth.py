@@ -47,15 +47,25 @@ _EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
 @dataclass(frozen=True)
 class CorpusLayout:
-    """Host sizing for a corpus of ``n_pages`` over ``n_hosts`` hosts."""
+    """Host sizing for a corpus of ``n_pages`` over ``n_hosts`` hosts.
+
+    ``fanout`` = tree branching factor of the in-domain link graph
+    (2 = binary tree, the test default; bench corpora use a wide
+    fan-out so BFS reaches steady-state rounds quickly).
+    ``extra_paras`` inflates page text for extraction-heavy benches.
+    """
 
     n_pages: int
     n_hosts: int
     host_counts: tuple[int, ...] = field(default=())
     prefix: tuple[int, ...] = field(default=())
+    fanout: int = 2
+    extra_paras: int = 0
 
     @staticmethod
-    def build(n_pages: int, n_hosts: int = 10) -> "CorpusLayout":
+    def build(
+        n_pages: int, n_hosts: int = 10, fanout: int = 2, extra_paras: int = 0
+    ) -> "CorpusLayout":
         n_hosts = max(2, min(n_hosts, n_pages // 2))
         counts = [0] * n_hosts
         counts[0] = n_pages // 2  # mega-host: 50% of pages
@@ -70,7 +80,9 @@ class CorpusLayout:
         prefix = [0]
         for c in counts:
             prefix.append(prefix[-1] + c)
-        return CorpusLayout(n_pages, n_hosts, tuple(counts), tuple(prefix))
+        return CorpusLayout(
+            n_pages, n_hosts, tuple(counts), tuple(prefix), fanout, extra_paras
+        )
 
     def locate(self, page_index: int) -> tuple[int, int]:
         """page_index -> (host_id, within-host index j)."""
@@ -100,13 +112,15 @@ def _reach_count(host_pages: int) -> int:
 
 
 def link_targets(h: int, j: int, layout: CorpusLayout, page_index: int) -> list[int]:
-    """Deterministic in-domain link targets (within-host indices)."""
+    """Deterministic in-domain link targets (within-host indices):
+    f-ary tree children + a chain edge + seeded extras."""
     reach = _reach_count(layout.host_counts[h])
-    k = 1 + page_index % 5
+    f = layout.fanout
+    k = 1 + page_index % 5 if f == 2 else f + 1 + page_index % 5
     rnd = random.Random(SEED + page_index)
-    candidates = [2 * j + 1, 2 * j + 2, j + 1]
+    candidates = [f * j + i for i in range(1, f + 1)] + [j + 1]
     while len(candidates) < k:
-        candidates.append(rnd.randrange(0, max(1, min(reach, 2 * j + 3))))
+        candidates.append(rnd.randrange(0, max(1, min(reach, f * j + f + 1))))
     out: list[int] = []
     for t in candidates[:k]:
         if t < reach and t != j and t not in out:
@@ -129,7 +143,7 @@ def gen_html(page_index: int, layout: CorpusLayout) -> tuple[str, str]:
     if targets:  # duplicate of an earlier link — within-page dedup contract
         anchors.append(f'<a href="{page_path(h, targets[0])}">dup</a>')
     paras = []
-    for p in range(1 + page_index % 3):
+    for p in range(1 + page_index % 3 + layout.extra_paras):
         words = [rnd.choice(_WORDS) for _ in range(8 + rnd.randrange(8))]
         paras.append(f"<p>{' '.join(words)}</p>")
     html = (
@@ -230,22 +244,28 @@ def sitemap_pages(layout: CorpusLayout) -> list[dict]:
 # -------------------------------------------------------------- DataFrames --
 
 
-def synth_pages_local(n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True):
+def synth_pages_local(
+    n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
+    fanout: int = 2, extra_paras: int = 0,
+):
     """Small-scale corpus as a list of dicts (for pytest + the oracle)."""
-    layout = CorpusLayout.build(n_pages, n_hosts)
+    layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
     rows = [gen_page_row(i, layout) for i in range(n_pages)]
     if with_sitemaps:
         rows.extend(sitemap_pages(layout))
     return layout, rows
 
 
-def synth_pages_df(spark, n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True):
+def synth_pages_df(
+    spark, n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
+    fanout: int = 2, extra_paras: int = 0,
+):
     """Distributed corpus: spark.range → mapInPandas, no driver blowup."""
     import pandas as pd
 
     from sparkcrawler.schemas import PAGES
 
-    layout = CorpusLayout.build(n_pages, n_hosts)
+    layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:

@@ -191,6 +191,16 @@ def test_politeness_budget_enforced(spark, corpus):
     assert res.visited == 8
 
 
+def test_bloom_delta_batching_equivalent(spark, corpus, full_run):
+    """With bloom updates skipped entirely (min_batch=inf), the
+    uncovered-delta anti-join must keep outputs identical."""
+    seed, _, log_full, seen_full, _ = full_run
+    cfg = CrawlConfig(max_pages=10_000, bloom_update_min_batch=10**9)
+    _, log2, seen2, _ = _crawl(spark, corpus, seed, cfg)
+    assert _log_key(log2) == _log_key(log_full)
+    assert seen2 == seen_full
+
+
 def test_resume_bit_identical(spark, corpus, full_run):
     """Kill after round 3, resume → state identical to the uninterrupted
     run (north rule: resumable from checkpoint)."""
