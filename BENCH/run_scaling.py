@@ -30,6 +30,7 @@ def run_bench(cpus: int, pages: int, fanout: int, paras: int) -> dict:
             "SPARK_BENCH_FANOUT": str(fanout),
             "SPARK_BENCH_PARAS": str(paras),
             "SPARK_BENCH_SKIP_QUERIES": "1",
+            "SPARK_BENCH_AQE": "0",
         }
     )
     out = subprocess.run(
@@ -47,13 +48,14 @@ def main() -> None:
 
     # warm run: generates/caches the corpus so neither timed run pays
     # generation; then N and 4N interleaved, 2 trials each in fresh
-    # JVMs, min per level (the sandbox host is noisy).
+    # JVMs, min per level (the shared sandbox host shows ±2x noise
+    # between identical runs, so min-of-3 is the fairest point estimate).
     # N=4, 4N=16: python UDF workers + JVM task threads both count
     # against the 32 vCPUs, so local[16] is the largest level that
     # runs uncontended (16 JVM + 16 python threads).
     run_bench(16, pages, fanout, paras)
     results = {}
-    for cpus in (4, 16, 4, 16):
+    for cpus in (4, 16, 4, 16, 4, 16):
         r = run_bench(cpus, pages, fanout, paras)
         key = f"local[{cpus}]"
         if key not in results or r["crawl_sec"] < results[key]["crawl_sec"]:
@@ -95,7 +97,7 @@ mega-host skew 50%, robots + politeness + Bloom dedup active).
 
 (N=4 vs 4N=16 cores: each Spark task thread pairs with a Python UDF
 worker, so local[16] = 32 runnable threads = the whole box; local[32]
-would oversubscribe 2× and measure contention, not scaling. Best of 2
+would oversubscribe 2× and measure contention, not scaling. Best of 3
 interleaved trials per level — the shared sandbox host is noisy.)
 
 **Speedup (4× cores): {summary['speedup_4x_cores']}×  →  scaling

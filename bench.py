@@ -126,8 +126,12 @@ def main() -> None:
 
     from sparkcrawler.session import get_spark
 
+    extra_conf = {}
+    if os.environ.get("SPARK_BENCH_AQE", "1") == "0":
+        extra_conf["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
-        "sparkcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "sparkcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
+        extra_conf=extra_conf,
     )
 
     result: dict = {

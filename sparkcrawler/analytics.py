@@ -733,6 +733,75 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+def events_hourly_windows(spark, sf_dir):
+    """Tumbling event-time windows (the batch twin of the Structured
+    Streaming path in sparkcrawler.streaming.events_stream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def orders_upsert_latest(spark, sf_dir):
+    """Insert-or-update (reference S9, data.py:201-208) as
+    dedup-on-write MERGE: updates win over existing rows per key."""
+    from sparkcrawler.operators.upsert import upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # +1000.00 keeps the value conceptually 2-decimal: a ×1.1 style bump
+    # creates exact .5 rounding boundaries where Spark (HALF_UP) and
+    # DuckDB (HALF_EVEN) disagree.
+    updates = (
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    merged = upsert(orders, updates, ["o_orderkey"], "o_orderdate")
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("version_date"),
+    ).orderBy("o_orderkey")
+
+
+UPSERT_SQL = """
+WITH existing AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate, 0 AS _src FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS o_orderdate, 1 AS _src
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+u AS (SELECT * FROM existing UNION ALL SELECT * FROM updates)
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS version_date
+FROM u
+QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                           ORDER BY o_orderdate DESC, _src DESC) = 1
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (non-SQL-expressible: UDF extraction + iterative BFS
 # → rows-only checks)
@@ -829,6 +898,8 @@ CATALOG: dict[str, QuerySpec] = {
     "events_sessionized": QuerySpec(events_sessionized, SESSION_SQL),
     "events_daily": QuerySpec(events_daily, DAILY_SQL),
     "monthly_order_growth": QuerySpec(monthly_order_growth, MONTHLY_SQL),
+    "events_hourly_windows": QuerySpec(events_hourly_windows, HOURLY_SQL),
+    "orders_upsert_latest": QuerySpec(orders_upsert_latest, UPSERT_SQL),
     "part_brand_stats": QuerySpec(part_brand_stats, PART_SQL),
     "docs_dedup_exact": QuerySpec(docs_dedup_exact, DEDUP_SQL),
     "docs_minhash": QuerySpec(docs_minhash, MINHASH_SQL),

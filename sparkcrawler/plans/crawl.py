@@ -358,7 +358,7 @@ def crawl(
         # ---- job 3 (cheap): seen delta from the written frontier ----
         t3 = time.time()
         fr_next.where(F.col("is_new")).select(
-            "url_hash", "url", F.lit(r + 1).cast("int").alias("round_added")
+            "url_hash", "url", F.col("round").cast("int").alias("round_added")
         ).write.mode("overwrite").parquet(_p(out_dir, "seen", f"r{r + 1}"))
         _tr(f"r{r} seen write", t3)
 

@@ -132,7 +132,10 @@ def build_round(
         )
         return df.select(
             F.lit(run_id).alias("run_id"),
-            F.lit(round_no).cast("int").alias("round"),
+            # the frontier's own round column (== round_no for every row)
+            # keeps the plan literal-free → whole-stage codegen cache hits
+            # across rounds instead of a recompile per round
+            F.col("round").cast("int").alias("round"),
             "url",
             "url_hash",
             "host",
@@ -153,7 +156,7 @@ def build_round(
         .unionByName(log_row(dead, schemas.ERROR, 404, False))
     )
 
-    next_round = F.lit(round_no + 1).cast("int")
+    next_round = (F.col("round") + 1).cast("int")
     deferred_out = (
         deferred.select(*FRONTIER_COLS)
         .withColumn("round", next_round)

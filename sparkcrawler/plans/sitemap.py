@@ -112,6 +112,43 @@ def sitemap_candidates(robots_row: dict | None, seed_url: str) -> list[str]:
     return out
 
 
+def crawl_with_priming(
+    spark: SparkSession,
+    pages: DataFrame,
+    robots: DataFrame,
+    seed_url: str,
+    out_dir: str,
+    run_id: str = "run_0",
+    config=None,
+):
+    """Reference entry point 1+2 combined (main.py:26-48 prime_queue →
+    event loop): try sitemap priming first, fall back to the bare seed
+    (main.py:33), persist the sitemaps table, run the crawl."""
+    import os
+
+    from sparkcrawler.plans.crawl import crawl
+
+    extra, sitemaps_df = prime_from_sitemap(spark, pages, robots, seed_url, run_id)
+    if sitemaps_df is not None:
+        sitemaps_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "sitemaps")
+        )
+    return crawl(
+        spark, pages, robots, [seed_url], out_dir,
+        run_id=run_id, config=config, extra_frontier=extra,
+    )
+
+
+def sitemap_index_edges(sitemaps_df: DataFrame) -> DataFrame:
+    """Group child sitemap/page urls under their parent index
+    (reference A5: mapper.py:58,96 ``sitemap_indexes[index].append``;
+    dumped as sitemap_indexes.json by on_map_success, mapper.py:117-127)."""
+    return sitemaps_df.groupBy("index_url").agg(
+        F.sort_array(F.collect_list("url")).alias("child_urls"),
+        F.count(F.lit(1)).alias("n_children"),
+    )
+
+
 def prime_from_sitemap(
     spark: SparkSession,
     pages: DataFrame,
@@ -188,6 +225,7 @@ def prime_from_sitemap(
 
     extra = (
         spark.createDataFrame(frontier_rows, "url string, priority double")
+        .dropDuplicates(["url"])
         .withColumn(
             "url", canonicalize_udf(F.lit(None).cast("string"), F.col("url"))
         )
