@@ -81,11 +81,20 @@ def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
         t0 = time.time()
         res = crawl(spark, pages, robots, seeds, out, run_id="bench", config=cfg)
         wall = time.time() - t0
+        # steady-state throughput: the heavy rounds (≥10% of all pages),
+        # where compute dominates the fixed per-round driver latency —
+        # the regime a multi-executor cluster runs in continuously.
+        heavy = [st for st in res.round_stats
+                 if st["processed"] >= 0.1 * max(res.visited, 1)]
+        heavy_pages = sum(st["processed"] for st in heavy)
+        heavy_wall = sum(st["wall"] for st in heavy) or 1.0
         return {
             "crawl_sec": round(wall, 2),
             "crawl_visited": res.visited,
             "crawl_rounds": res.rounds,
             "urls_per_sec": round(res.visited / wall, 1),
+            "steady_urls_per_sec": round(heavy_pages / heavy_wall, 1),
+            "steady_pages": heavy_pages,
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -135,7 +135,7 @@ def _collect_metrics(log_df, discovered, fr_next) -> dict:
         )
 
     union = (
-        tag(log_df, "processed")
+        tag(log_df, "processed")  # == frontier rows processed this round
         .unionByName(tag(log_df.where(F.col("crawl_status") == schemas.PARSED), "fetched"))
         .unionByName(tag(discovered, "discovered"))
         .unionByName(tag(fr_next.where(F.col("is_new")), "newly_discovered"))
@@ -392,7 +392,8 @@ def crawl(
         visited += processed
         stats.append(
             {"round": r, "frontier_in": frontier_count, "processed": processed,
-             "new": n_new, "deferred": n_deferred}
+             "new": n_new, "deferred": n_deferred,
+             "wall": round(time.time() - t_round, 3)}
         )
         plan.decided.unpersist()
         plan.extracted.unpersist()
