@@ -44,6 +44,14 @@ class CrawlConfig:
     # >0 and pages carries an url_bucket partition column → per-round
     # partition pruning of the fetch scan (Iceberg-bucket semantics)
     corpus_buckets: int = 0
+    # frontier row count at or below which the round broadcasts the
+    # frontier side of the fetch join; above it, a shuffle join runs
+    # (against a bucketed corpus table only the frontier side moves)
+    broadcast_frontier_limit: int = 2_000_000
+    # frontier row count at or below which the frontier's URLs are
+    # collected and pushed into the corpus scan as an IN filter →
+    # bucket pruning + row-group min/max skipping on url-sorted buckets
+    fetch_pushdown_limit: int = 4096
     # skip the Bloom update for small new-URL batches: the filter only
     # pays off when candidate volume is large, and a stale (smaller)
     # bloom is still correct — unseen suspects just take the exact
@@ -286,11 +294,24 @@ def crawl(
         max_admit = remaining if frontier_count > remaining else None
 
         t_round = time.time()
-        # bucket set of this round's frontier → fetch-scan pruning; only
-        # worth a (tiny) extra job when the frontier plausibly misses
-        # buckets
+        # small frontier → ONE tiny collect powers both prunings:
+        # the url IN-list pushed into the corpus scan, and (for a
+        # url_bucket-partitioned corpus) the partition-dir set derived
+        # driver-side from the same urls via the pure-Python xxh64.
         frontier_buckets = None
-        if cfg.corpus_buckets and frontier_count < 4 * cfg.corpus_buckets:
+        frontier_urls = None
+        if frontier_count <= cfg.fetch_pushdown_limit:
+            frontier_urls = [
+                row[0] for row in frontier.select("url").collect()
+            ]
+            if cfg.corpus_buckets:
+                from sparkcrawler.oracle import url_hash64
+
+                frontier_buckets = sorted(
+                    {url_hash64(u) % cfg.corpus_buckets for u in frontier_urls}
+                )
+            _tr(f"r{r} frontier probe ({len(frontier_urls)} urls)", t_round)
+        elif cfg.corpus_buckets and frontier_count < 4 * cfg.corpus_buckets:
             frontier_buckets = [
                 row[0]
                 for row in frontier.select(
@@ -306,6 +327,8 @@ def crawl(
             retries=cfg.retries,
             frontier_count=frontier_count,
             frontier_buckets=frontier_buckets,
+            frontier_urls=frontier_urls,
+            broadcast_frontier_limit=cfg.broadcast_frontier_limit,
         )
         # windows compute once: both the crawl_log job and the
         # next-frontier job read the politeness decision from cache

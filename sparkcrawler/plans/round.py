@@ -60,6 +60,7 @@ def build_round(
     frontier_count: int | None = None,
     broadcast_frontier_limit: int = 2_000_000,
     frontier_buckets: list[int] | None = None,
+    frontier_urls: list[str] | None = None,
 ) -> RoundPlan:
     f = frontier.select(*FRONTIER_COLS)
 
@@ -97,6 +98,11 @@ def build_round(
     corpus = pages
     if frontier_buckets is not None and "url_bucket" in pages.columns:
         corpus = corpus.where(F.col("url_bucket").isin(frontier_buckets))
+    if frontier_urls is not None:
+        # IN-list pushdown: bucket pruning on a bucketed corpus table
+        # plus parquet row-group min/max skipping (buckets are sorted by
+        # url), so a tail round reads a sliver of the corpus.
+        corpus = corpus.where(F.col("url").isin(frontier_urls))
     corpus = corpus.select("url", "html")
     if frontier_count is not None and frontier_count <= broadcast_frontier_limit:
         fetched = corpus.join(F.broadcast(admitted), "url", "right_outer")
