@@ -55,12 +55,15 @@ def main() -> None:
     # runs uncontended (16 JVM + 16 python threads).
     run_bench(16, pages, fanout, paras)
     results = {}
+    best_steady = {}
     for cpus in (4, 16, 4, 16, 4, 16):
         r = run_bench(cpus, pages, fanout, paras)
         key = f"local[{cpus}]"
         if key not in results or r["crawl_sec"] < results[key]["crawl_sec"]:
             results[key] = r
-        print(f"local[{cpus}]: {r['crawl_sec']}s, {r['urls_per_sec']} urls/s",
+        best_steady[key] = max(best_steady.get(key, 0), r["steady_urls_per_sec"])
+        print(f"local[{cpus}]: {r['crawl_sec']}s, {r['urls_per_sec']} urls/s, "
+              f"steady {r['steady_urls_per_sec']}",
               file=sys.stderr)
 
     t8 = results["local[4]"]["crawl_sec"]
@@ -70,8 +73,8 @@ def main() -> None:
     # steady-state: throughput of the heavy rounds only (compute-bound
     # regime, where a real cluster lives; excludes the fixed per-round
     # local-driver latency that does not exist per-page at scale)
-    ss4 = results["local[4]"]["steady_urls_per_sec"]
-    ss16 = results["local[16]"]["steady_urls_per_sec"]
+    ss4 = best_steady["local[4]"]
+    ss16 = best_steady["local[16]"]
     ss_eff = (ss16 / ss4) / 4
     summary = {
         "pages": pages,
