@@ -12,9 +12,10 @@ Two workloads, one JSON line on stdout:
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores (default 32)
-  SPARK_BENCH_PAGES    crawl corpus size (default 60000)
-  SPARK_BENCH_FANOUT   link-tree fanout (default 32)
-  SPARK_BENCH_PARAS    extra text paragraphs per page (default 20)
+  SPARK_BENCH_PAGES    crawl corpus size (default 30000)
+  SPARK_BENCH_FANOUT   link-tree fanout (default 64)
+  SPARK_BENCH_PARAS    extra text paragraphs per page (default 60)
+  SPARK_BENCH_AQE      "1" re-enables AQE (off by default: faster here)
   SPARK_BENCH_SKIP_QUERIES / SPARK_BENCH_SKIP_CRAWL  set to skip a part
 """
 
@@ -36,11 +37,11 @@ N_BUCKETS = 64
 
 
 def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 100):
-    """Generate (or reuse) the bench corpus as a bucketed+sorted table
-    (Iceberg-bucket layout): heavy rounds shuffle-join against it with
-    NO corpus-side exchange or sort; tail rounds push the frontier's
-    url IN-list into the scan (bucket pruning + row-group skipping on
-    the url-sorted buckets). Generation is distributed (mapInPandas)."""
+    """Generate (or reuse) the bench corpus, hash-partitioned by
+    url_bucket (Iceberg-bucket dir layout, one file per bucket): the
+    crawl broadcasts the frontier over it and prunes small rounds to the
+    frontier's buckets + an url IN-list. Generation is distributed
+    (mapInPandas)."""
     from sparkcrawler.sources.synth import CorpusLayout, synth_pages_df
 
     # Layout note (measured): a bucketBy(64).sortBy(url) TABLE was tried
@@ -148,9 +149,9 @@ def bench_queries(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = _env_int("SPARK_GRAFT_CPUS", 32)
-    n_pages = _env_int("SPARK_BENCH_PAGES", 60000)
-    fanout = _env_int("SPARK_BENCH_FANOUT", 128)
-    paras = _env_int("SPARK_BENCH_PARAS", 240)
+    n_pages = _env_int("SPARK_BENCH_PAGES", 30000)
+    fanout = _env_int("SPARK_BENCH_FANOUT", 64)
+    paras = _env_int("SPARK_BENCH_PARAS", 60)
 
     from sparkcrawler.session import get_spark
 
@@ -161,7 +162,7 @@ def main() -> None:
         "spark.driver.extraJavaOptions":
             "-Dderby.system.home=/tmp/sparkcrawler_bench/derby",
     }
-    if os.environ.get("SPARK_BENCH_AQE", "1") == "0":
+    if os.environ.get("SPARK_BENCH_AQE", "0") == "0":  # AQE off measured faster at this scale
         extra_conf["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         "sparkcrawler-bench", master=f"local[{cpus}]", shuffle_partitions=cpus,
