@@ -802,6 +802,95 @@ ORDER BY o_orderkey
 """
 
 
+def robots_parse_dim(spark, sf_dir):
+    """robots.txt content → dimension parse (reference downloader.py:24-44
+    Protego semantics: UA-* groups, comments, empty Disallow, file-global
+    Sitemap lines). The robots bodies are built deterministically per
+    nation row, the REAL parser UDF extracts the fields, and the oracle
+    computes the same fields parametrically — a mismatch means the
+    parser broke a contract."""
+    from sparkcrawler.operators.robots import parse_robots_udf
+
+    nation = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    ks = key.cast("string")
+    host = F.concat(F.lit("nation"), ks, F.lit(".example"))
+    v = key % 4
+    text = (
+        F.when(
+            v == 0,
+            F.concat_ws(
+                "\n",
+                F.lit("User-agent: *"),
+                F.lit("Disallow: /private/  # keep out"),
+                F.concat(F.lit("Disallow: /tmp"), ks, F.lit("/")),
+                F.concat(F.lit("Crawl-delay: "), (1 + key % 5).cast("string")),
+                F.concat(F.lit("Sitemap: https://"), host, F.lit("/sm.xml")),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat_ws(
+                "\n",
+                F.lit("# comment line"),
+                F.lit("User-Agent: *"),
+                F.concat(F.lit("Disallow: /a"), ks, F.lit("/")),
+                F.lit(""),
+                F.lit("User-agent: googlebot"),
+                F.lit("Disallow: /"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat_ws(
+                "\n",
+                F.lit("User-agent: *"),
+                F.lit("Disallow:"),
+                F.lit("Crawl-delay: 1.5"),
+                F.lit("Request-rate: 1/5"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                "\n", F.lit("User-agent: badbot"), F.lit("Disallow: /")
+            )
+        )
+    )
+    parsed = nation.select(
+        host.alias("host"),
+        parse_robots_udf(text.cast("binary")).alias("p"),
+    )
+    return parsed.select(
+        "host",
+        F.size("p.disallow_prefixes").alias("n_disallow"),
+        F.concat_ws(",", "p.disallow_prefixes").alias("disallow_csv"),
+        F.col("p.crawl_delay").alias("crawl_delay"),
+        F.round("p.request_rate", 4).alias("request_rate"),
+        F.get("p.sitemap_urls", 0).alias("sitemap_1"),
+    ).orderBy("host")
+
+
+ROBOTS_PARSE_SQL = """
+SELECT 'nation' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+       CAST(CASE n_nationkey % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_disallow,
+       CASE n_nationkey % 4
+            WHEN 0 THEN '/private/,/tmp' || CAST(n_nationkey AS VARCHAR) || '/'
+            WHEN 1 THEN '/a' || CAST(n_nationkey AS VARCHAR) || '/'
+            ELSE '' END AS disallow_csv,
+       CASE n_nationkey % 4
+            WHEN 0 THEN CAST(1 + n_nationkey % 5 AS DOUBLE)
+            WHEN 2 THEN 1.5 ELSE NULL END AS crawl_delay,
+       CASE n_nationkey % 4 WHEN 2 THEN CAST(0.2 AS DOUBLE)
+            ELSE NULL END AS request_rate,
+       CASE n_nationkey % 4
+            WHEN 0 THEN 'https://nation' || CAST(n_nationkey AS VARCHAR)
+                        || '.example/sm.xml'
+            ELSE NULL END AS sitemap_1
+FROM nation ORDER BY host
+"""
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine queries (non-SQL-expressible: UDF extraction + iterative BFS
 # → rows-only checks)
@@ -912,6 +1001,7 @@ CATALOG: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
     "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
     "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
+    "robots_parse_dim": QuerySpec(robots_parse_dim, ROBOTS_PARSE_SQL),
     # crawl-engine ops: UDF extraction + iterative BFS — no SQL analog
     "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, None),
     "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, None),

@@ -82,18 +82,26 @@ class PartitionedBloom:
             self.bitmaps[r["shard"]] |= np.frombuffer(r["bitmap"], dtype=np.uint8)
             self.n_added += int(r["n"])
 
-    def update_local(self, hashes) -> None:
-        """Driver-local add (tiny seed sets)."""
-        hs = np.asarray(list(hashes), dtype=np.int64)
+    def add_hashes(self, hs: np.ndarray) -> None:
+        """Vectorized driver-local add of an int64 hash array (used to
+        fold per-round deltas read straight from the written frontier
+        parquet — numpy only, no Spark job, ~µs per thousand hashes)."""
         if hs.size == 0:
             return
-        shard = hs % self.num_shards
-        for pos, sh in zip(
-            zip(*_positions(hs, self.k, self.bits_per_shard)), shard
-        ):
-            for p in pos:
-                self.bitmaps[sh, p >> 3] |= np.uint8(1) << np.uint8(p & 7)
-        self.n_added += hs.size
+        with np.errstate(over="ignore"):
+            shard = np.mod(hs, self.num_shards).astype(np.int64)
+        flat = self.bitmaps.reshape(-1)
+        row_off = shard * (self.bits_per_shard // 8)
+        for pos in _positions(hs, self.k, self.bits_per_shard):
+            np.bitwise_or.at(
+                flat, row_off + (pos >> 3),
+                (np.uint8(1) << (pos & 7).astype(np.uint8)),
+            )
+        self.n_added += int(hs.size)
+
+    def update_local(self, hashes) -> None:
+        """Driver-local add (tiny seed sets)."""
+        self.add_hashes(np.asarray(list(hashes), dtype=np.int64))
 
     # ------------------------------------------------------------- query --
 

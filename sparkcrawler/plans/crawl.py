@@ -3,11 +3,22 @@
 The reference's asyncio producer/consumer event loop (reference
 simple_crawler/main.py:36-132) becomes a synchronous driver loop: one
 BFS round per iteration, each round committed as an atomic snapshot
-(crawl_log / seen / frontier_{r+1} / lineage under ``round=r`` dirs plus
-a ``_committed_r`` marker — Iceberg-snapshot semantics without Iceberg,
+(crawl_log / frontier_{r+1} / lineage under ``r{N}`` dirs plus a
+``_committed_r`` marker — Iceberg-snapshot semantics without Iceberg,
 SURVEY.md §7.3). A killed run resumes from the max committed round and
 reproduces the remaining rounds bit-for-bit, because every round's input
 is exactly the previously committed parquet.
+
+Job budget (scaling design): exactly TWO Spark jobs per round — the
+crawl_log write (the one extract-UDF execution) and the next-frontier
+write (discovery + seen dedup). Everything else the driver derives from
+the just-written parquet files with pyarrow (row counts, per-file
+lineage counters, Bloom delta hashes, run events): a Spark job costs
+seconds of scheduling in local mode and driver round-trips on a
+cluster, while a driver-side columnar read of a round's output is
+milliseconds. The URL-seen table is not written at all — it is a VIEW
+over the committed frontier snapshots (rows tagged ``is_new``), so the
+previous third write job is free.
 
 Stop conditions mirror the reference: cumulative completed pages ≥
 max_pages (cache.py:57-59 ``limit_reached``) or an empty frontier (the
@@ -17,16 +28,20 @@ frontier IS the end).
 
 from __future__ import annotations
 
+import datetime as dt
+import glob
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkcrawler import schemas
-from sparkcrawler.functions.urlnorm import canonicalize
+from sparkcrawler.functions.urlnorm import canonicalize, host_of
 from sparkcrawler.operators.seen import PartitionedBloom, dedup_against_seen
+from sparkcrawler.oracle import url_hash64
 from sparkcrawler.plans.round import FRONTIER_COLS, build_round, discovered_links
 
 
@@ -55,8 +70,12 @@ class CrawlConfig:
     # skip the Bloom update for small new-URL batches: the filter only
     # pays off when candidate volume is large, and a stale (smaller)
     # bloom is still correct — unseen suspects just take the exact
-    # anti-join. Keeps tail rounds from paying a fixed build job.
+    # anti-join. Keeps tail rounds from paying a fixed build cost.
     bloom_update_min_batch: int = 1
+    # new-URL batch size at or below which the Bloom delta is folded in
+    # driver-side (numpy over the written frontier's url_hash column —
+    # no Spark job); above it, the distributed applyInPandas build runs.
+    bloom_driver_update_limit: int = 5_000_000
 
 
 @dataclass
@@ -96,105 +115,184 @@ def _max_committed_round(out_dir: str) -> int | None:
     return r
 
 
-def seed_frontier(spark: SparkSession, seed_urls: list[str]) -> DataFrame:
-    """Seeds → canonical round-0 frontier (priority 0 = crawled first)."""
-    rows = []
-    seen_local = set()
+def _committed_dirs(out_dir: str, table: str, up_to: int) -> list[str]:
+    """Existing round dirs r0..r{up_to} of a state table — an explicit
+    list, so a torn, uncommitted r{k} dir from a killed attempt is never
+    read (it gets overwritten when round k re-runs)."""
+    paths = []
+    for i in range(up_to + 1):
+        d = _p(out_dir, table, f"r{i}")
+        if os.path.exists(d):
+            paths.append(d)
+    return paths
+
+
+# ----------------------------------------------------------- seed frontier --
+
+
+def _seed_rows(seed_urls: list[str]) -> list[dict]:
+    """Seeds → canonical round-0 frontier rows (priority 0 = crawled
+    first). Pure driver-side: canonicalize/host_of/xxh64 are the same
+    functions the Spark plans use (verified bit-equal in tests)."""
+    rows, seen_local = [], set()
     for u in seed_urls:
         cu = canonicalize(None, u)
         if cu and cu not in seen_local:
             seen_local.add(cu)
-            rows.append((cu,))
-    df = spark.createDataFrame(rows, "url string")
-    return (
-        df.withColumn("url_hash", F.xxhash64("url"))
-        .withColumn(
-            "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
-        )
-        .withColumn("depth", F.lit(0).cast("int"))
-        .withColumn("priority", F.lit(0.0))
-        .withColumn("round", F.lit(0).cast("int"))
-        .withColumn("attempt", F.lit(0).cast("int"))
-        .select(*FRONTIER_COLS)
-    )
+            rows.append(
+                {
+                    "url": cu,
+                    "url_hash": url_hash64(cu),
+                    "host": host_of(cu),
+                    "depth": 0,
+                    "priority": 0.0,
+                    "round": 0,
+                    "attempt": 0,
+                    "is_new": True,
+                }
+            )
+    return rows
 
 
-def _append_run_event(spark, out_dir, run_id, seed_url, max_pages, event):
-    row = spark.createDataFrame(
-        [(run_id, seed_url, max_pages, event)],
-        "run_id string, seed_url string, max_pages int, event string",
-    ).withColumn("event_time", F.current_timestamp())
-    row.write.mode("append").parquet(_p(out_dir, "runs"))
+def seed_frontier(spark: SparkSession, seed_urls: list[str]) -> DataFrame:
+    """Seeds as a frontier DataFrame (public helper; the crawl itself
+    builds round 0 driver-side)."""
+    rows = [
+        (r["url"], r["url_hash"], r["host"], r["depth"], r["priority"],
+         r["round"], r["attempt"])
+        for r in _seed_rows(seed_urls)
+    ]
+    return spark.createDataFrame(rows, schemas.FRONTIER_SCHEMA)
 
 
-def _collect_metrics(log_df, discovered, fr_next) -> dict:
-    """ONE Spark job computing every per-partition counter the round
-    needs (north rule A6) — driver decisions + lineage both feed off it.
-
-    Partition ids are per-stage (each metric's own scan), which is the
-    honest granularity for an audit table built from committed files.
-    """
-    def tag(df, metric):
-        return (
-            df.select(F.spark_partition_id().alias("partition_id"))
-            .groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(metric).alias("metric"), "partition_id", "n")
-        )
-
-    union = (
-        tag(log_df, "processed")  # == frontier rows processed this round
-        .unionByName(tag(log_df.where(F.col("crawl_status") == schemas.PARSED), "fetched"))
-        .unionByName(tag(discovered, "discovered"))
-        .unionByName(tag(fr_next.where(F.col("is_new")), "newly_discovered"))
-        .unionByName(tag(fr_next.where(~F.col("is_new")), "deferred"))
-    )
-    totals: dict[str, int] = {}
-    per_partition: dict[int, dict[str, int]] = {}
-    for row in union.collect():
-        totals[row["metric"]] = totals.get(row["metric"], 0) + int(row["n"])
-        per_partition.setdefault(int(row["partition_id"]), {})[row["metric"]] = int(row["n"])
-    return {"totals": totals, "per_partition": per_partition}
-
-
-def _write_lineage_rows(spark, out_dir, run_id, r, per_partition: dict) -> None:
-    """Lineage rows are a handful of counters — written driver-side with
-    pyarrow (a Spark job for ~10 rows costs seconds of scheduling)."""
+def _frontier0_table(rows: list[dict]):
     import pyarrow as pa
+
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "url_hash": pa.array([r["url_hash"] for r in rows], pa.int64()),
+            "host": pa.array([r["host"] for r in rows], pa.string()),
+            "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+            "priority": pa.array([r["priority"] for r in rows], pa.float64()),
+            "round": pa.array([r["round"] for r in rows], pa.int32()),
+            "attempt": pa.array([r["attempt"] for r in rows], pa.int32()),
+            "is_new": pa.array([True] * len(rows), pa.bool_()),
+        }
+    )
+
+
+def _write_pa(table, d: str, name: str | None = None) -> None:
     import pyarrow.parquet as pq
 
-    pids = sorted(per_partition)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, name or f"part-{uuid.uuid4().hex}.parquet"))
+
+
+# ------------------------------------------------------------- run events --
+
+
+def _append_run_event(out_dir, run_id, seed_url, max_pages, event) -> None:
+    """Run-event sink (reference data.py:117-140 start/complete_run).
+    One tiny row — written driver-side, not as a Spark job."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "run_id": pa.array([run_id], pa.string()),
+            "seed_url": pa.array([seed_url], pa.string()),
+            "max_pages": pa.array([max_pages], pa.int32()),
+            "event": pa.array([event], pa.string()),
+            "event_time": pa.array(
+                [dt.datetime.now(dt.timezone.utc)], pa.timestamp("us", tz="UTC")
+            ),
+        }
+    )
+    _write_pa(table, _p(out_dir, "runs"))
+
+
+# ------------------------------------------- driver-side per-round metrics --
+
+
+def _round_file_stats(out_dir: str, r: int) -> dict:
+    """Every counter the round needs, from the just-written parquet —
+    per-FILE granularity (one written file == one output partition), no
+    Spark job. Feeds the driver's loop decisions, the lineage table, and
+    the Bloom delta.
+    """
+    import pyarrow.parquet as pq
+
+    stats = {
+        "processed": 0, "fetched": 0, "link_occurrences": 0,
+        "newly_discovered": 0, "deferred": 0,
+        "log_files": [], "frontier_files": [], "new_hashes": [],
+    }
+    for f in sorted(glob.glob(_p(out_dir, "crawl_log", f"r{r}", "*.parquet"))):
+        t = pq.read_table(f, columns=["crawl_status", "n_links"])
+        status = t.column("crawl_status").to_numpy(zero_copy_only=False)
+        n_links = t.column("n_links").to_pylist()
+        fetched = int((status == schemas.PARSED).sum())
+        links = int(sum(n for n in n_links if n is not None))
+        stats["log_files"].append(
+            {"rows": t.num_rows, "fetched": fetched, "links": links}
+        )
+        stats["processed"] += t.num_rows
+        stats["fetched"] += fetched
+        stats["link_occurrences"] += links
+    for f in sorted(glob.glob(_p(out_dir, "frontier", f"r{r + 1}", "*.parquet"))):
+        t = pq.read_table(f, columns=["is_new", "url_hash"])
+        is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+        hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+        n_new = int(is_new.sum())
+        stats["frontier_files"].append({"rows": t.num_rows, "new": n_new})
+        stats["newly_discovered"] += n_new
+        stats["deferred"] += t.num_rows - n_new
+        if n_new:
+            stats["new_hashes"].append(hashes[is_new])
+    return stats
+
+
+def _write_lineage_rows(out_dir, run_id, r, stats: dict) -> None:
+    """Per-partition lineage (north rule A6): one row per written file of
+    this round's outputs — frontier_in/fetched from the crawl_log files,
+    newly_discovered from the next-frontier files (merged by file index).
+    ``deduped`` = same-host link occurrences that did NOT become new
+    frontier rows (within-page + within-round + seen dedup combined); it
+    is a cross-partition difference, so it lands exact on a single
+    totals row (partition_id = -1) rather than being faked per-partition.
+    """
+    import pyarrow as pa
+
+    per: dict[int, dict] = {}
+    for i, lf in enumerate(stats["log_files"]):
+        per.setdefault(i, {})["frontier_in"] = lf["rows"]
+        per[i]["fetched"] = lf["fetched"]
+    for j, ff in enumerate(stats["frontier_files"]):
+        per.setdefault(j, {})["newly_discovered"] = ff["new"]
+    deduped_total = max(
+        stats["link_occurrences"] - stats["newly_discovered"], 0
+    )
+    pids = sorted(per) + [-1]
+    rows = [per.get(p, {}) for p in sorted(per)] + [{"deduped": deduped_total}]
     table = pa.table(
         {
             "run_id": pa.array([run_id] * len(pids), pa.string()),
             "round": pa.array([r] * len(pids), pa.int32()),
             "partition_id": pa.array(pids, pa.int32()),
             "frontier_in": pa.array(
-                [per_partition[p].get("processed", 0) for p in pids], pa.int64()
+                [row.get("frontier_in", 0) for row in rows], pa.int64()
             ),
-            "fetched": pa.array(
-                [per_partition[p].get("fetched", 0) for p in pids], pa.int64()
-            ),
-            "deduped": pa.array(
-                [
-                    max(
-                        per_partition[p].get("discovered", 0)
-                        - per_partition[p].get("newly_discovered", 0),
-                        0,
-                    )
-                    for p in pids
-                ],
-                pa.int64(),
-            ),
+            "fetched": pa.array([row.get("fetched", 0) for row in rows], pa.int64()),
+            "deduped": pa.array([row.get("deduped", 0) for row in rows], pa.int64()),
             "newly_discovered": pa.array(
-                [per_partition[p].get("newly_discovered", 0) for p in pids],
-                pa.int64(),
+                [row.get("newly_discovered", 0) for row in rows], pa.int64()
             ),
         }
     )
-    d = _p(out_dir, "lineage", f"r{r}")
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    _write_pa(table, _p(out_dir, "lineage", f"r{r}"), "part-0.parquet")
+
+
+# ------------------------------------------------------------------ crawl --
 
 
 def crawl(
@@ -210,7 +308,10 @@ def crawl(
     """Run (or resume) a crawl. All state lives under ``out_dir``.
 
     ``extra_frontier`` lets the sitemap priming loop inject additional
-    round-0 URLs (reference main.py:26-33 prime_queue).
+    round-0 URLs (reference main.py:26-33 prime_queue). Priming sets are
+    tiny by construction (one sitemap tree per seed host), so they merge
+    driver-side; seed-vs-sitemap duplicates resolve deterministically by
+    (priority, url) — the seed's priority 0.0 wins.
     """
     cfg = config or CrawlConfig()
     t0 = time.time()
@@ -219,19 +320,23 @@ def crawl(
     resume_round = _max_committed_round(out_dir)
     if resume_round is None:
         # ---- fresh run: commit the seed snapshot ("init") ----
-        frontier0 = seed_frontier(spark, seed_urls)
+        rows = _seed_rows(seed_urls)
         if extra_frontier is not None:
-            frontier0 = (
-                frontier0.unionByName(extra_frontier.select(*FRONTIER_COLS))
-                .dropDuplicates(["url_hash"])
-            )
-        frontier0.write.mode("overwrite").parquet(_p(out_dir, "frontier", "r0"))
-        seen0 = spark.read.parquet(_p(out_dir, "frontier", "r0")).select(
-            "url_hash", "url", F.lit(0).cast("int").alias("round_added")
+            by_hash = {r["url_hash"]: r for r in rows}
+            for er in extra_frontier.select(*FRONTIER_COLS).collect():
+                d = er.asDict()
+                d["is_new"] = True
+                prev = by_hash.get(d["url_hash"])
+                if prev is None or (d["priority"], d["url"]) < (
+                    prev["priority"], prev["url"]
+                ):
+                    by_hash[d["url_hash"]] = d
+            rows = sorted(by_hash.values(), key=lambda r: (r["url_hash"], r["url"]))
+        _write_pa(
+            _frontier0_table(rows), _p(out_dir, "frontier", "r0"), "part-0.parquet"
         )
-        seen0.write.mode("overwrite").parquet(_p(out_dir, "seen", "r0"))
         _append_run_event(
-            spark, out_dir, run_id,
+            out_dir, run_id,
             seed_urls[0] if seed_urls else None, cfg.max_pages, "start_run",
         )
         _commit(out_dir, "init", {"run_id": run_id})
@@ -239,33 +344,51 @@ def crawl(
         visited = 0
     else:
         next_round = resume_round + 1
-        log_path = _p(out_dir, "crawl_log")
         # count only COMMITTED rounds — a round that died mid-write may
         # have left an uncommitted crawl_log/r{k} behind (it will be
-        # overwritten when round k re-runs).
-        visited = (
-            _read_tree(spark, log_path)
-            .where(F.col("round") <= F.lit(resume_round))
-            .count()
-            if os.path.exists(log_path)
-            else 0
+        # overwritten when round k re-runs). Footer row counts only —
+        # no Spark job on resume.
+        import pyarrow.parquet as pq
+
+        visited = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for d in _committed_dirs(out_dir, "crawl_log", resume_round)
+            for f in glob.glob(os.path.join(d, "*.parquet"))
         )
         _append_run_event(
-            spark, out_dir, run_id, seed_urls[0] if seed_urls else None,
+            out_dir, run_id, seed_urls[0] if seed_urls else None,
             cfg.max_pages, "resume_run",
         )
 
-    # Bloom filter over everything ever seen (rebuilt on resume from the
-    # committed seen table — filters only skip definite-misses).
+    # Bloom filter over everything ever seen. The seen set is a view
+    # over the committed frontier snapshots (is_new rows), so the
+    # rebuild scans those. Filters only skip definite-misses.
     bloom = None
-    bloom_covered = next_round  # bloom contains seen rows with round_added <= this
+    bloom_covered = next_round  # bloom holds seen rows with round_added <= this
     if cfg.use_bloom:
+        import pyarrow.parquet as pq
+
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
-        bloom.update_from_df(
-            _read_tree(spark, _p(out_dir, "seen")).where(
-                F.col("round_added") <= F.lit(next_round)
+        files = [
+            f
+            for d in _committed_dirs(out_dir, "frontier", next_round)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if 0 < total <= cfg.bloom_driver_update_limit:
+            import numpy as np
+
+            for f in files:
+                t = pq.read_table(f, columns=["is_new", "url_hash"])
+                is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+                hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+                bloom.add_hashes(np.asarray(hashes[is_new], dtype=np.int64))
+        elif total:
+            bloom.update_from_df(
+                spark.read.parquet(
+                    *_committed_dirs(out_dir, "frontier", next_round)
+                ).where(F.col("is_new"))
             )
-        )
 
     trace = bool(os.environ.get("SPARKCRAWLER_TRACE"))
 
@@ -305,8 +428,6 @@ def crawl(
                 row[0] for row in frontier.select("url").collect()
             ]
             if cfg.corpus_buckets:
-                from sparkcrawler.oracle import url_hash64
-
                 frontier_buckets = sorted(
                     {url_hash64(u) % cfg.corpus_buckets for u in frontier_urls}
                 )
@@ -331,7 +452,8 @@ def crawl(
             broadcast_frontier_limit=cfg.broadcast_frontier_limit,
         )
         # windows compute once: both the crawl_log job and the
-        # next-frontier job read the politeness decision from cache
+        # next-frontier job read the politeness decision from cache;
+        # the extract UDF output is shared the same way
         plan.decided.persist()
         plan.extracted.persist()
         _tr(f"r{r} plan build", t_round)
@@ -345,21 +467,18 @@ def crawl(
             _p(out_dir, "crawl_log", f"r{r}")
         )
         _tr(f"r{r} crawl_log write", t1)
-        log_df = spark.read.parquet(_p(out_dir, "crawl_log", f"r{r}"))
 
         # ---- job 2: next frontier = politeness-deferred ∪ (discovered ∖ seen)
-        # Discovery reads the *committed* log, so the extract UDF never
-        # re-runs; an `is_new` tag lets the seen delta be carved out of
-        # the written file instead of recomputing the anti-join.
-        # only committed seen rows: a torn previous attempt may have left
-        # an uncommitted seen/r{r+1} behind; its rows must not dedup away
-        # this round's (recomputed) discoveries.
-        seen_all = _read_tree(spark, _p(out_dir, "seen")).where(
-            F.col("round_added") <= F.lit(r)
-        )
+        # Discovery reads the cached extract output, so the UDF never
+        # re-runs; the `is_new` tag makes the written frontier double as
+        # the seen-set delta (no separate seen write — the seen table IS
+        # the union of is_new rows across committed frontier snapshots).
+        seen_all = spark.read.parquet(
+            *_committed_dirs(out_dir, "frontier", r)
+        ).where(F.col("is_new"))
         discovered = discovered_links(plan.extracted)
         seen_uncovered = (
-            seen_all.where(F.col("round_added") > F.lit(bloom_covered))
+            seen_all.where(F.col("round") > F.lit(bloom_covered))
             if bloom is not None and bloom_covered < r
             else None
         )
@@ -376,40 +495,33 @@ def crawl(
             _p(out_dir, "frontier", f"r{r + 1}")
         )
         _tr(f"r{r} frontier write", t2)
-        fr_next = spark.read.parquet(_p(out_dir, "frontier", f"r{r + 1}"))
 
-        # ---- job 3 (cheap): seen delta from the written frontier ----
+        # ---- driver-side: metrics, lineage, bloom delta (no Spark jobs) ----
         t3 = time.time()
-        fr_next.where(F.col("is_new")).select(
-            "url_hash", "url", F.col("round").cast("int").alias("round_added")
-        ).write.mode("overwrite").parquet(_p(out_dir, "seen", f"r{r + 1}"))
-        _tr(f"r{r} seen write", t3)
-
-        # ---- job 4 (cheap): one metrics pass over the committed files ——
-        # feeds BOTH the driver's loop decisions and the lineage table.
-        t4 = time.time()
-        metrics = _collect_metrics(log_df, discovered, fr_next)
-        _tr(f"r{r} metrics", t4)
-        processed = metrics["totals"].get("processed", 0)
-        n_new = metrics["totals"].get("newly_discovered", 0)
-        n_deferred = metrics["totals"].get("deferred", 0)
-
-        if cfg.lineage:  # tiny driver-built write
-            t6 = time.time()
-            _write_lineage_rows(spark, out_dir, run_id, r, metrics["per_partition"])
-            _tr(f"r{r} lineage write", t6)
+        m = _round_file_stats(out_dir, r)
+        processed = m["processed"]
+        n_new = m["newly_discovered"]
+        n_deferred = m["deferred"]
+        if cfg.lineage:
+            _write_lineage_rows(out_dir, run_id, r, m)
 
         if bloom is not None and n_new >= cfg.bloom_update_min_batch:
-            t5 = time.time()
-            # fold in this round's delta AND any previously skipped rounds
-            bloom.update_from_df(
-                _read_tree(spark, _p(out_dir, "seen")).where(
-                    (F.col("round_added") > F.lit(bloom_covered))
-                    & (F.col("round_added") <= F.lit(r + 1))
+            if n_new <= cfg.bloom_driver_update_limit:
+                # fold the delta in driver-side from the already-read
+                # url_hash column (the batch is small; no Spark job)
+                import numpy as np
+
+                for arr in m["new_hashes"]:
+                    bloom.add_hashes(np.asarray(arr, dtype=np.int64))
+            else:
+                # huge round → distributed build over the written delta
+                bloom.update_from_df(
+                    spark.read.parquet(
+                        *_committed_dirs(out_dir, "frontier", r + 1)
+                    ).where(F.col("is_new") & (F.col("round") > bloom_covered))
                 )
-            )
             bloom_covered = r + 1
-            _tr(f"r{r} bloom update", t5)
+        _tr(f"r{r} driver metrics+lineage+bloom", t3)
 
         _commit(out_dir, str(r), {"processed": processed, "new": n_new})
         visited += processed
@@ -425,7 +537,7 @@ def crawl(
         r += 1
 
     _append_run_event(
-        spark, out_dir, run_id, seed_urls[0] if seed_urls else None,
+        out_dir, run_id, seed_urls[0] if seed_urls else None,
         cfg.max_pages, "complete_run",
     )
     return CrawlResult(
@@ -438,6 +550,9 @@ def crawl(
     )
 
 
+# ------------------------------------------------------------- read side --
+
+
 def _read_tree(spark: SparkSession, path: str) -> DataFrame:
     """Read all round subdirs (r0, r1, ...) under a state table dir."""
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
@@ -448,7 +563,16 @@ def read_crawl_log(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_seen(spark: SparkSession, out_dir: str) -> DataFrame:
-    return _read_tree(spark, _p(out_dir, "seen"))
+    """URL-seen set (url_hash, url, round_added) — a view over the
+    committed frontier snapshots' ``is_new`` rows; nothing is stored
+    twice. The reference's Redis SADD set (cache.py:91-97) analog."""
+    return (
+        _read_tree(spark, _p(out_dir, "frontier"))
+        .where(F.col("is_new"))
+        .select(
+            "url_hash", "url", F.col("round").cast("int").alias("round_added")
+        )
+    )
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -457,3 +581,17 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def read_runs(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_p(out_dir, "runs"))
+
+
+def read_crawl_pages(
+    spark: SparkSession, out_dir: str, pages: DataFrame
+) -> DataFrame:
+    """Analytical read-side parity with the reference's
+    ``SELECT * FROM urls`` including the content BLOB (reference
+    data_conn.py:11-16, config/sqlite.yml:44-46): the crawl outcome per
+    URL joined back to the corpus row, so the fetched page's text is
+    recoverable per crawled URL without re-fetching."""
+    log = read_crawl_log(spark, out_dir)
+    return log.join(
+        pages.select("url", "text", "lang", "warc_ts"), "url", "left"
+    )

@@ -41,9 +41,13 @@ class RoundPlan:
     admitted: DataFrame    # what passed trim+robots+politeness (pre-fetch)
     decided: DataFrame     # politeness-tagged frontier — persist across the
                            # round's jobs so the windows compute once
-    extracted: DataFrame   # fetched+extracted rows (FRONTIER_COLS + links) —
-                           # persist so discovery reads the UDF output from
-                           # cache instead of re-scanning the written log
+    extracted: DataFrame   # fetched+extracted rows (FRONTIER_COLS + links +
+                           # _text_len) — MUST be persisted by the caller:
+                           # the crawl_log PARSED branch, the broadcast-mode
+                           # missing-URL anti-join, and link discovery all
+                           # derive from this exact DataFrame so Spark's
+                           # cache substitution makes the extract UDF run
+                           # once per round
 
 
 def build_round(
@@ -80,17 +84,22 @@ def build_round(
     admitted = decided.where(F.col("_admitted")).drop("_admitted")
     deferred = decided.where(~F.col("_admitted")).drop("_admitted")
 
-    # fetch = left join into the corpus, pruned to (url, html) so the scan
+    # fetch = join into the corpus, pruned to (url, html) so the scan
     # reads only what the extract stage needs (column pruning).
     #
-    # Join strategy is chosen driver-side from the carried frontier count:
-    # a crawl frontier is tiny in bytes relative to the corpus, so when it
-    # fits we BROADCAST the frontier and stream the corpus past it
-    # (right_outer keeps the left-join-from-admitted semantics) — no
-    # corpus shuffle, no sort, one scan per round. Past the threshold
-    # (deep-web rounds at 10^10 scale) we fall back to a shuffle join,
-    # which on a cluster runs against a corpus bucketed by url so only
-    # the frontier side moves.
+    # Join strategy is chosen driver-side from the carried frontier count.
+    # A crawl frontier is tiny in bytes relative to the corpus, so when it
+    # fits we BROADCAST it and stream the corpus past it. A single outer
+    # join can't do this (BroadcastHashJoin cannot build the preserved
+    # side of an outer join — Spark silently ignores the hint and falls
+    # back to shuffling the corpus), so the left-join-from-admitted
+    # semantics are split into two broadcastable shapes:
+    #   ok      = corpus ⋈ broadcast(admitted)          (inner, BuildRight)
+    #   missing = admitted ⋉̸ broadcast(extracted.url)    (anti, BuildRight)
+    # Both build sides are ≤ frontier-sized; the corpus side never
+    # shuffles or sorts. Past the threshold (deep-web rounds at 10^10
+    # scale) we fall back to a shuffle join, which on a cluster runs
+    # against a corpus bucketed by url so only the frontier side moves.
     # Partition pruning (Iceberg-bucket semantics): when the corpus is
     # stored partitioned by url_bucket = pmod(xxhash64(url), NB), a
     # round that only touches a few buckets scans only those partition
@@ -104,29 +113,47 @@ def build_round(
         # url), so a tail round reads a sliver of the corpus.
         corpus = corpus.where(F.col("url").isin(frontier_urls))
     corpus = corpus.select("url", "html")
-    if frontier_count is not None and frontier_count <= broadcast_frontier_limit:
-        fetched = corpus.join(F.broadcast(admitted), "url", "right_outer")
+    broadcast_mode = (
+        frontier_count is not None and frontier_count <= broadcast_frontier_limit
+    )
+    if broadcast_mode:
+        ok = corpus.join(F.broadcast(admitted), "url")
     else:
         fetched = admitted.join(corpus, "url", "left")
-
-    ok = fetched.where(F.col("html").isNotNull())
-    missing = fetched.where(F.col("html").isNull())
+        ok = fetched.where(F.col("html").isNotNull())
 
     # ONE Arrow pass extracts links + text length; the same-host filter
     # is a builtin higher-order function over the canonical links
-    # (reference parser.py:38-39 netloc equality), JVM-side.
+    # (reference parser.py:38-39 netloc equality), JVM-side. AUTHORITY
+    # (host[:port]) rather than HOST so URLs on the same hostname but a
+    # different explicit port are cross-host, matching the reference's
+    # raw-netloc comparison (canonicalization already strips default
+    # ports, so the common case is unchanged).
     extracted = (
         ok.withColumn("_page", extract_page_udf(F.col("url"), F.col("html")))
         .withColumn(
             "links",
             F.filter(
                 F.col("_page.links"),
-                lambda x: F.parse_url(x, F.lit("HOST")) == F.col("host"),
+                lambda x: F.parse_url(x, F.lit("AUTHORITY")) == F.col("host"),
             ),
         )
         .withColumn("_text_len", F.col("_page.text_len"))
         .drop("_page", "html")
+        .select(*FRONTIER_COLS, "links", "_text_len")
     )
+
+    if broadcast_mode:
+        # extract is total (one output row per fetched row), so the
+        # fetch-missed URLs are exactly admitted ∖ extracted.url. The
+        # build side reads the persisted `extracted` cache — its first
+        # materialization (the broadcast build) populates the cache the
+        # PARSED branch and link discovery then reuse.
+        missing = admitted.join(
+            F.broadcast(extracted.select("url")), "url", "left_anti"
+        )
+    else:
+        missing = fetched.where(F.col("html").isNull())
 
     def log_row(df, status, code, with_links: bool):
         links = F.col("links") if with_links else F.lit(None).cast("array<string>")
@@ -178,7 +205,7 @@ def build_round(
         deferred=deferred_out,
         admitted=admitted.select(*FRONTIER_COLS),
         decided=decided,
-        extracted=extracted.select(*FRONTIER_COLS, "links"),
+        extracted=extracted,
     )
 
 
@@ -201,7 +228,8 @@ def discovered_links(parsed: DataFrame) -> DataFrame:
         )
         .withColumn("url_hash", F.xxhash64(F.col("url")))
         .withColumn(
-            "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+            "host",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("AUTHORITY")), F.lit("")),
         )
         .withColumn("priority", F.lit(1.0))
         .withColumn("attempt", F.lit(0).cast("int"))

@@ -100,7 +100,11 @@ def sitemap_candidates(robots_row: dict | None, seed_url: str) -> list[str]:
     scheme = cu.split(":", 1)[0] if cu else "https"
     cands = []
     if robots_row:
-        cands.extend(robots_row.get("sitemap_urls") or [])
+        # only the FIRST robots `Sitemap:` entry is tried before the two
+        # fallback paths (reference mapper.py:139-153 uses sitemaps[0])
+        listed = robots_row.get("sitemap_urls") or []
+        if listed:
+            cands.append(listed[0])
     cands.append(f"{scheme}://{host}/sitemap-index.xml")
     cands.append(f"{scheme}://{host}/sitemap.xml")
     # dedupe, keep order
@@ -115,7 +119,7 @@ def sitemap_candidates(robots_row: dict | None, seed_url: str) -> list[str]:
 def crawl_with_priming(
     spark: SparkSession,
     pages: DataFrame,
-    robots: DataFrame,
+    robots: DataFrame | None,
     seed_url: str,
     out_dir: str,
     run_id: str = "run_0",
@@ -123,10 +127,21 @@ def crawl_with_priming(
 ):
     """Reference entry point 1+2 combined (main.py:26-48 prime_queue →
     event loop): try sitemap priming first, fall back to the bare seed
-    (main.py:33), persist the sitemaps table, run the crawl."""
+    (main.py:33), persist the sitemaps table, run the crawl.
+
+    ``robots=None`` builds the dimension from the corpus' own
+    ``robots.txt`` rows (the reference's per-host robots fetch,
+    downloader.py:24-27) via :func:`robots_from_corpus` — the path a
+    user pointing the engine at raw Common-Crawl-style data takes."""
     import os
 
+    from sparkcrawler.operators.robots import robots_from_corpus
     from sparkcrawler.plans.crawl import crawl
+
+    if robots is None:
+        # parsed once, materialized: the dim is joined (broadcast) every
+        # round and collected by the priming probe — don't re-parse
+        robots = robots_from_corpus(pages).persist()
 
     extra, sitemaps_df = prime_from_sitemap(spark, pages, robots, seed_url, run_id)
     if sitemaps_df is not None:
@@ -169,12 +184,13 @@ def prime_from_sitemap(
     rob_row = robots.where(F.col("host") == host).collect()
     rob = rob_row[0].asDict() if rob_row else None
 
-    source = None
     corpus = pages.select("url", "html")
-    for cand in sitemap_candidates(rob, seed_url):
-        if corpus.where(F.col("url") == cand).limit(1).count() > 0:
-            source = cand
-            break
+    # one IN-list probe scan for all ≤3 candidates (not a job per candidate)
+    cands = sitemap_candidates(rob, seed_url)
+    present = {
+        r[0] for r in corpus.where(F.col("url").isin(cands)).select("url").collect()
+    }
+    source = next((c for c in cands if c in present), None)
     if source is None:
         return None, None
 
@@ -232,7 +248,8 @@ def prime_from_sitemap(
         .where(F.col("url").isNotNull())
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn(
-            "host", F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+            "host",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("AUTHORITY")), F.lit("")),
         )
         .withColumn("depth", F.lit(0).cast("int"))
         .withColumn("round", F.lit(0).cast("int"))

@@ -191,6 +191,36 @@ def robots_rows(layout: CorpusLayout) -> list[dict]:
     return rows
 
 
+def robots_txt_pages(layout: CorpusLayout) -> list[dict]:
+    """robots.txt bodies as corpus rows (reference downloader.py:24-27
+    fetches ``https://<host>/robots.txt``). Content is generated so that
+    ``robots_from_corpus`` parses back exactly :func:`robots_rows` —
+    the hand-built dim and the parsed dim are interchangeable. The last
+    host has no robots.txt row at all (allow-on-error default)."""
+    rows = []
+    for spec in robots_rows(layout):
+        lines = ["# synthetic robots.txt", "User-agent: *"]
+        for p in spec["disallow_prefixes"]:
+            lines.append(f"Disallow: {p}")
+        if not spec["disallow_prefixes"]:
+            lines.append("Disallow:")  # empty = allow all
+        if spec["crawl_delay"] is not None:
+            lines.append(f"Crawl-delay: {spec['crawl_delay']:g}")
+        for sm in spec["sitemap_urls"] or []:
+            lines.append(f"Sitemap: {sm}")
+        body = "\n".join(lines) + "\n"
+        rows.append(
+            {
+                "url": f"https://{spec['host']}/robots.txt",
+                "warc_ts": _EPOCH,
+                "html": body.encode("utf-8"),
+                "text": "",
+                "lang": "en",
+            }
+        )
+    return rows
+
+
 def sitemap_pages(layout: CorpusLayout) -> list[dict]:
     """Sitemap XML blobs for host0, stored as extra corpus rows.
 
@@ -246,19 +276,21 @@ def sitemap_pages(layout: CorpusLayout) -> list[dict]:
 
 def synth_pages_local(
     n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
-    fanout: int = 2, extra_paras: int = 0,
+    fanout: int = 2, extra_paras: int = 0, with_robots: bool = False,
 ):
     """Small-scale corpus as a list of dicts (for pytest + the oracle)."""
     layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
     rows = [gen_page_row(i, layout) for i in range(n_pages)]
     if with_sitemaps:
         rows.extend(sitemap_pages(layout))
+    if with_robots:
+        rows.extend(robots_txt_pages(layout))
     return layout, rows
 
 
 def synth_pages_df(
     spark, n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
-    fanout: int = 2, extra_paras: int = 0,
+    fanout: int = 2, extra_paras: int = 0, with_robots: bool = False,
 ):
     """Distributed corpus: spark.range → mapInPandas, no driver blowup."""
     import pandas as pd
@@ -276,8 +308,13 @@ def synth_pages_df(
     df = spark.range(0, n_pages, numPartitions=parallelism).mapInPandas(
         gen, schema=PAGES
     )
+    extra_rows: list[dict] = []
     if with_sitemaps:
-        df = df.unionByName(spark.createDataFrame(sitemap_pages(layout), PAGES))
+        extra_rows.extend(sitemap_pages(layout))
+    if with_robots:
+        extra_rows.extend(robots_txt_pages(layout))
+    if extra_rows:
+        df = df.unionByName(spark.createDataFrame(extra_rows, PAGES))
     return layout, df
 
 
