@@ -388,87 +388,156 @@ SELECT md5(text) AS text_hash, count(*) AS n_copies,
 FROM documents GROUP BY 1 ORDER BY text_hash
 """
 
-_MINHASH_K = 4
+# MinHash: k=64 permutations from ONE md5 per word. The word's 60-bit
+# md5 prefix becomes an integer h (exact in both engines), and the i-th
+# permutation is the classic (a_i·h + b_i) mod p universal hash with
+# p = 2^31 − 1 — all multiplications stay below 2^63, so Spark and
+# DuckDB compute bit-identical signatures with no overflow semantics in
+# play. 16 bands × 4 rows for LSH (catch probability ≈0.89 at J=0.6).
+_MINHASH_K = 64
+_MINHASH_BANDS = 16
+_MH_ROWS = _MINHASH_K // _MINHASH_BANDS
+_MH_MOD = 2147483647  # 2^31 - 1
+_MH_A = [(1103515245 * (i + 1)) % _MH_MOD for i in range(_MINHASH_K)]
+_MH_B = [(12345 + 7919 * i) % _MH_MOD for i in range(_MINHASH_K)]
+
+_MH_HM_SQL = (
+    "('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647"
+)
+_MH_WORDS_SQL = (
+    "SELECT doc_id, " + _MH_HM_SQL + " AS hm FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+    "WHERE w <> ''"
+)
+_MH_SIG_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"min((hm * {a} + {b}) % {_MH_MOD}) AS g{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    + f" FROM ({_MH_WORDS_SQL}) GROUP BY doc_id"
+)
+
+
+def _minhash_sig(spark, sf_dir):
+    """The shared k=64 signature table (doc_id, g0..g63)."""
+    words = _words(spark, sf_dir)
+    hm = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % _MH_MOD
+    )
+    words = words.select("doc_id", hm.alias("hm"))
+    aggs = [
+        F.min((F.col("hm") * F.lit(a) + F.lit(b)) % _MH_MOD).alias(f"g{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def _band_cols():
+    """16 LSH band keys: md5 over each 4-value slice of the signature."""
+    cols = []
+    for j in range(_MINHASH_BANDS):
+        parts = [
+            F.col(f"g{4 * j + r}").cast("string") for r in range(_MH_ROWS)
+        ]
+        cols.append(F.substring(F.md5(F.concat_ws("-", *parts)), 1, 16))
+    return cols
+
+
+def _band_sql(j: int) -> str:
+    parts = ", ".join(f"g{4 * j + r}" for r in range(_MH_ROWS))
+    return f"substr(md5(concat_ws('-', {parts})), 1, 16)"
 
 
 def docs_minhash(spark, sf_dir):
-    """Word-level MinHash signature (k=4 salted md5 mins) — the
-    shingle→minhash step of near-dup detection."""
-    words = _words(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(_MINHASH_K)
-    ]
-    return words.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    """Word-level MinHash signature (k=64) — the shingle→minhash step of
+    near-dup detection, emitted as one joined string per doc."""
+    sig = _minhash_sig(spark, sf_dir)
+    parts = [F.col(f"g{i}").cast("string") for i in range(_MINHASH_K)]
+    return sig.select(
+        "doc_id", F.concat_ws("-", *parts).alias("sig")
+    ).orderBy("doc_id")
 
 
-MINHASH_SQL = """
-SELECT doc_id,
-       min(md5(w || '#0')) AS mh0, min(md5(w || '#1')) AS mh1,
-       min(md5(w || '#2')) AS mh2, min(md5(w || '#3')) AS mh3
-FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-WHERE w <> '' GROUP BY doc_id ORDER BY doc_id
+MINHASH_SQL = f"""
+WITH sig AS ({_MH_SIG_SQL})
+SELECT doc_id, concat_ws('-', {", ".join(f"g{i}" for i in range(_MINHASH_K))}) AS sig
+FROM sig ORDER BY doc_id
 """
 
 
+def _lsh_membership(spark, sf_dir):
+    """(doc_id, band_id, band_key) — each doc lands in 16 LSH buckets."""
+    sig = _minhash_sig(spark, sf_dir)
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*_band_cols())).alias("band_id", "band_key")
+    ).select("doc_id", (F.col("band_id") + 1).cast("int").alias("band_id"), "band_key")
+
+
+_LSH_MEMBER_SQL = (
+    f"SELECT doc_id, CAST(generate_subscripts(bands, 1) AS INTEGER) AS band_id, "
+    f"unnest(bands) AS band_key FROM ("
+    f"SELECT doc_id, [{', '.join(_band_sql(j) for j in range(_MINHASH_BANDS))}] "
+    f"AS bands FROM ({_MH_SIG_SQL}))"
+)
+
+
 def docs_lsh_buckets(spark, sf_dir):
-    """LSH banding over the minhash signature: band = (mh0,mh1) prefix;
-    bucket sizes = candidate near-dup groups."""
-    sig = docs_minhash(spark, sf_dir)
-    band = F.concat(
-        F.substring("mh0", 1, 8), F.substring("mh1", 1, 8)
-    ).alias("band")
+    """LSH banding over the k=64 minhash signature: bucket = (band_id,
+    band slice hash); buckets with >1 doc are the candidate near-dup
+    groups — candidate generation is bucket-local, never all-pairs."""
     return (
-        sig.select("doc_id", band)
-        .groupBy("band")
+        _lsh_membership(spark, sf_dir)
+        .groupBy("band_id", "band_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("sample_doc"),
         )
         .where(F.col("n_docs") > 1)
-        .orderBy("band")
+        .orderBy("band_id", "band_key")
     )
 
 
-LSH_SQL = """
-WITH sig AS (
-  SELECT doc_id,
-         min(md5(w || '#0')) AS mh0, min(md5(w || '#1')) AS mh1
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> '' GROUP BY doc_id
-)
-SELECT substr(mh0, 1, 8) || substr(mh1, 1, 8) AS band,
-       count(*) AS n_docs, min(doc_id) AS sample_doc
-FROM sig GROUP BY 1 HAVING count(*) > 1 ORDER BY band
+LSH_SQL = f"""
+SELECT band_id, band_key, count(*) AS n_docs, min(doc_id) AS sample_doc
+FROM ({_LSH_MEMBER_SQL})
+GROUP BY band_id, band_key HAVING count(*) > 1
+ORDER BY band_id, band_key
 """
 
 
 def docs_jaccard_pairs(spark, sf_dir):
-    """Exact word-set Jaccard over a bounded candidate set (doc_id<60):
-    the verify step after LSH candidate generation."""
-    w = (
-        _words(spark, sf_dir)
-        .where(F.col("doc_id") < 60)
-        .dropDuplicates(["doc_id", "w"])
-    )
-    counts = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = w.alias("a")
-    b = w.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    """Exact word-set Jaccard VERIFY step over candidates generated by
+    the LSH buckets (co-bucketed in ≥1 band) — the scale-safe shape: the
+    word self-join touches only candidate pairs, never all pairs."""
+    member = _lsh_membership(spark, sf_dir)
+    a = member.alias("a")
+    b = member.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        .distinct()
+    )
+    w = _words(spark, sf_dir).dropDuplicates(["doc_id", "w"])
+    counts = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wa = w.select(F.col("doc_id").alias("id_a"), "w")
+    wb = w.select(F.col("doc_id").alias("_idb"), F.col("w").alias("w2"))
+    inter = (
+        pairs.join(wa, "id_a")
+        .join(wb, (F.col("id_b") == F.col("_idb")) & (F.col("w") == F.col("w2")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("ninter"))
     )
-    ca = counts.select(
-        F.col("doc_id").alias("id_a"), F.col("n").alias("na")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
-    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
@@ -484,17 +553,25 @@ def docs_jaccard_pairs(spark, sf_dir):
     )
 
 
-JACCARD_SQL = """
-WITH w AS (
+JACCARD_SQL = f"""
+WITH member AS ({_LSH_MEMBER_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM member a JOIN member b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+w AS (
   SELECT DISTINCT doc_id, w FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    WHERE doc_id < 60
   ) WHERE w <> ''
 ),
 c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
-  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+  SELECT id_a, id_b, count(*) AS ninter
+  FROM pairs
+  JOIN w wa ON wa.doc_id = id_a
+  JOIN w wb ON wb.doc_id = id_b AND wa.w = wb.w
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
