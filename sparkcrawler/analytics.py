@@ -760,6 +760,81 @@ LIMIT 10
 """
 
 
+def ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN: random-hyperplane LSH (8 integer-exact planes,
+    sparkcrawler.operators.ann) assigns every vector a bucket; the
+    query (vec_id=0) probes its own bucket plus Hamming≤1 neighbors and
+    exact cosine re-ranks only those candidates — no crossJoin re-rank
+    over all vectors. The materialized, partition-pruned variant of the
+    same index lives in operators/ann.py (build_ann_index/ann_search)."""
+    from sparkcrawler.operators.ann import with_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = with_bucket(emb)
+    qb = b.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), _dbl("embedding").alias("q")
+    )
+    cand = b.where(F.col("vec_id") > 0).select(
+        "vec_id", "label", "bucket", _dbl("embedding").alias("e")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        cand.join(
+            F.broadcast(qb),
+            F.bit_count(F.expr("bucket ^ qbucket")) <= 1,
+        )
+        .withColumn("cos", F.round(dot / (norm("e") * norm("q")), 4))
+        .select("vec_id", "label", "bucket", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ann_lsh_sql() -> str:
+    w = (
+        "((1103515245 * ({i} * 64 + d + 1) + 12345) % 2147483647 - 1073741823)"
+    )
+    sums = ",\n         ".join(
+        f"sum(e_int * {w.format(i=i)}) AS dot{i}" for i in range(8)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN dot{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(floor(val * 10000) AS BIGINT) AS e_int, d
+  FROM (SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) - 1 AS d
+        FROM embeddings)
+),
+dots AS (
+  SELECT vec_id,
+         {sums}
+  FROM ex GROUP BY vec_id
+),
+b AS (SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM dots),
+q AS (
+  SELECT b.bucket AS qbucket, CAST(e.embedding AS DOUBLE[]) AS qv
+  FROM b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0
+)
+SELECT e.vec_id, e.label, b.bucket,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+FROM embeddings e JOIN b USING (vec_id), q
+WHERE e.vec_id > 0 AND bit_count(xor(b.bucket, q.qbucket)) <= 1
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
 def embeddings_centroids(spark, sf_dir):
     """Per-label centroid: posexplode → groupBy(label, dim) avg."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1076,6 +1151,7 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
     "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
     "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
     "robots_parse_dim": QuerySpec(robots_parse_dim, ROBOTS_PARSE_SQL),

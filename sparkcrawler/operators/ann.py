@@ -1,0 +1,133 @@
+"""Approximate nearest neighbor over embedding columns.
+
+Two tiers (SURVEY.md training-data-pipeline ops):
+
+- **Exact baseline**: brute-force cosine top-k
+  (``analytics.ann_cosine_topk``) — one full scan per query vector.
+- **Scale path (this module)**: random-hyperplane LSH. Each vector gets
+  an ``n_planes``-bit bucket (bit i = sign of the dot product with
+  deterministic hyperplane i); the index is a parquet table PARTITIONED
+  by bucket, so a query reads only its own bucket plus the Hamming≤1
+  probe buckets — partition pruning cuts the candidate scan by
+  ~``2^n_planes / (n_planes+1)``× — and exact cosine re-ranks the
+  candidate union.
+
+Determinism contract: hyperplanes and sign bits are computed in
+integer arithmetic (embedding values quantized with ``floor(x·10⁴)``,
+hyperplane weights from a 32-bit LCG formula), so the Spark column, the
+driver-side numpy mirror, and the DuckDB oracle produce bit-identical
+buckets — no float summation-order hazards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_PLANES = 8
+_LCG_A = 1103515245
+_LCG_B = 12345
+_LCG_M = 2147483647
+_CENTER = 1073741823  # ~M/2: weights land in [-center, M-1-center]
+_QUANT = 10_000
+
+
+def _weight_expr(plane: int, dim_col):
+    """Hyperplane weight h(plane, d) as an integer Spark expression
+    (64-bit throughout — the LCG product overflows int32)."""
+    idx = (F.lit(plane * 64).cast("long") + dim_col.cast("long") + F.lit(1))
+    return (
+        F.lit(_LCG_A).cast("long") * idx + F.lit(_LCG_B)
+    ) % F.lit(_LCG_M) - F.lit(_CENTER)
+
+
+def weight_py(plane: int, d: int) -> int:
+    """The same weight, driver-side."""
+    return (_LCG_A * (plane * 64 + d + 1) + _LCG_B) % _LCG_M - _CENTER
+
+
+def bucket_py(vec) -> int:
+    """Driver-side bucket of one embedding (numpy mirror of the column)."""
+    e = np.floor(np.asarray(vec, dtype=np.float64) * _QUANT).astype(np.int64)
+    b = 0
+    for i in range(N_PLANES):
+        w = np.array([weight_py(i, d) for d in range(len(e))], dtype=np.int64)
+        if int((e * w).sum()) > 0:
+            b |= 1 << i
+    return b
+
+
+def with_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append the ``bucket: int`` LSH column — pure builtins (posexplode
+    + integer sums), JVM-side, no Python in the loop. All original
+    columns survive (the embedding rides through the aggregation), so
+    one shuffle produces the index rows directly — no re-join."""
+    other = [c for c in emb.columns if c != vec_col]
+    exploded = emb.select(
+        *other,
+        F.col(vec_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "val"),
+    ).withColumn("e_int", F.floor(F.col("val") * _QUANT).cast("long"))
+    aggs = [
+        F.sum(F.col("e_int") * _weight_expr(i, F.col("d"))).alias(f"dot{i}")
+        for i in range(N_PLANES)
+    ] + [F.first(vec_col).alias(vec_col)]
+    dots = exploded.groupBy(*other).agg(*aggs)
+    bucket = None
+    for i in range(N_PLANES):
+        term = F.when(F.col(f"dot{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return dots.select(*other, vec_col, bucket.cast("int").alias("bucket"))
+
+
+def build_ann_index(
+    emb: DataFrame, out_path: str, vec_col: str = "embedding"
+) -> None:
+    """Materialize the LSH index: the embedding table re-written
+    PARTITIONED BY bucket (2^n_planes directories). On a cluster this is
+    the one-off indexing job; searches after it scan only probe buckets."""
+    with_bucket(emb, vec_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out_path)
+
+
+def probe_buckets(qbucket: int, hamming: int = 1) -> list[int]:
+    """Bucket ids within the given Hamming radius of the query bucket."""
+    out = {qbucket}
+    if hamming >= 1:
+        for i in range(N_PLANES):
+            out.add(qbucket ^ (1 << i))
+    if hamming >= 2:
+        for i in range(N_PLANES):
+            for j in range(i + 1, N_PLANES):
+                out.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(out)
+
+
+def ann_search(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine within the probe buckets of a materialized index.
+    The ``bucket`` IN-filter hits the partition column → the scan reads
+    only |probes| of the 2^n_planes partition directories."""
+    probes = probe_buckets(bucket_py(query_vec), hamming)
+    idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    e = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm_e = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    norm_q = float(np.sqrt(np.dot(query_vec, query_vec)))
+    return (
+        idx.withColumn("cos", dot / (norm_e * F.lit(norm_q)))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+        .select(id_col, "bucket", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,124 @@
+"""Bucketed ANN (random-hyperplane LSH): index build, partition-pruned
+search, recall vs the exact brute-force baseline, and the determinism
+contract between the Spark bucket column and the driver-side mirror."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcrawler.operators.ann import (
+    N_PLANES,
+    ann_search,
+    bucket_py,
+    build_ann_index,
+    probe_buckets,
+    with_bucket,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb):
+    d = tempfile.mkdtemp(prefix="sc_annidx_")
+    build_ann_index(emb, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucket_column_matches_driver_mirror(spark, emb):
+    rows = with_bucket(emb).select("vec_id", "bucket", "embedding").collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["bucket"] == bucket_py(r["embedding"]), r["vec_id"]
+
+
+def test_index_is_bucket_partitioned(spark, index_dir):
+    import glob
+
+    parts = glob.glob(f"{index_dir}/bucket=*")
+    assert len(parts) > 1  # vectors spread over multiple buckets
+    df = spark.read.parquet(index_dir)
+    assert "bucket" in df.columns
+
+
+def test_search_scan_is_partition_pruned(spark, index_dir, emb):
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    res = ann_search(spark, index_dir, q, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the scan must not read every bucket directory
+    probes = probe_buckets(bucket_py(q), hamming=1)
+    assert len(probes) == N_PLANES + 1
+
+
+def test_probe_buckets_hamming():
+    assert probe_buckets(0, hamming=0) == [0]
+    assert len(probe_buckets(0, hamming=1)) == 1 + N_PLANES
+    assert len(probe_buckets(0, hamming=2)) == 1 + N_PLANES + N_PLANES * (N_PLANES - 1) // 2
+
+
+def _brute_topk(emb_rows, qv, k=10):
+    q = np.asarray(qv, dtype=np.float64)
+    scored = []
+    for r in emb_rows:
+        e = np.asarray(r["embedding"], dtype=np.float64)
+        cos = float(e @ q / (np.linalg.norm(e) * np.linalg.norm(q)))
+        scored.append((-cos, r["vec_id"]))
+    scored.sort()
+    return [v for _, v in scored[:k]]
+
+
+def test_search_recall_vs_brute_force(spark, index_dir, emb):
+    """Measured recall@10 over 5 query vectors with Hamming≤2 probes.
+    LSH is approximate by design; the assertion is the LIFT: recall
+    must beat the scanned data fraction by ≥1.5× (random bucketing
+    would give recall ≈ scan fraction)."""
+    rows = emb.collect()
+    with_b = {r["vec_id"]: r for r in with_bucket(emb).collect()}
+    n = len(rows)
+    recalls, fracs = [], []
+    for qid in range(5):
+        qv = next(r["embedding"] for r in rows if r["vec_id"] == qid)
+        truth = set(
+            _brute_topk([r for r in rows if r["vec_id"] != qid], qv, 10)
+        )
+        got = {
+            r["vec_id"]
+            for r in ann_search(spark, index_dir, qv, k=10, hamming=2).collect()
+            if r["vec_id"] != qid
+        }
+        probes = set(probe_buckets(bucket_py(qv), hamming=2))
+        fracs.append(
+            sum(1 for r in with_b.values() if r["bucket"] in probes) / n
+        )
+        recalls.append(len(truth & got) / 10)
+    avg_recall = sum(recalls) / len(recalls)
+    avg_frac = sum(fracs) / len(fracs)
+    assert avg_recall >= 1.5 * avg_frac, (recalls, fracs)
+    assert avg_recall >= 0.2, recalls
+
+
+def test_search_exact_within_probed_buckets(spark, index_dir, emb):
+    """Within the probed buckets the re-rank is exact: ann_search's
+    result equals the brute-force top-k restricted to those buckets."""
+    rows = with_bucket(emb).collect()
+    qv = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    probes = set(probe_buckets(bucket_py(qv), hamming=1))
+    cand = [r for r in rows if r["bucket"] in probes]
+    want = set(_brute_topk(cand, qv, 10))
+    res = ann_search(spark, index_dir, qv, k=10).collect()
+    got = {r["vec_id"] for r in res}
+    assert got == want
+    cos_vals = [r["cos"] for r in res]
+    assert cos_vals == sorted(cos_vals, reverse=True)
