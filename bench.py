@@ -54,7 +54,7 @@ def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 10
     from pyspark.sql import functions as F
 
     cache = (
-        f"/tmp/sparkcrawler_bench/corpus_p{n_pages}_f{fanout}_x{paras}"
+        f"/tmp/sparkcrawler_bench/corpus_v2_p{n_pages}_f{fanout}_x{paras}"
         f"_h{n_hosts}_b{N_BUCKETS}"
     )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):

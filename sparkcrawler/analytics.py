@@ -1044,33 +1044,52 @@ FROM nation ORDER BY host
 
 
 # --------------------------------------------------------------------------
-# Crawl-engine queries (non-SQL-expressible: UDF extraction + iterative BFS
-# → rows-only checks)
+# Crawl-engine queries. The demo crawl writes to a FIXED, versioned path
+# so DuckDB can read the very same parquet the Spark queries read —
+# turning the crawl queries into real rows+schema+hash oracle checks
+# (the iterative BFS itself has no SQL analog; the oracle verifies the
+# analytical reads over its committed output byte-for-byte).
 # --------------------------------------------------------------------------
 
-_CRAWL_CACHE: dict[str, str] = {}
+DEMO_DIR = "/tmp/sparkcrawler_demo/v2"
+_DEMO_CRAWL = f"{DEMO_DIR}/crawl"
+_DEMO_CORPUS = f"{DEMO_DIR}/corpus"
 
 
 def _demo_crawl_dir(spark) -> str:
-    """Run the flagship crawl once per process over the deterministic
-    synthetic corpus; reuse its output dir for the crawl queries."""
-    key = "demo"
-    if key not in _CRAWL_CACHE:
-        import tempfile
+    """Run the flagship crawl once over the deterministic synthetic
+    corpus (seed 42 → bit-stable output) into the fixed demo path; both
+    the Spark queries and the DuckDB oracles read these files. Built
+    atomically (tmp dir + rename) so concurrent callers are safe."""
+    import os
+    import shutil
+    import tempfile
 
+    ready = os.path.join(DEMO_DIR, "_READY")
+    if not os.path.exists(ready):
         from sparkcrawler.plans.crawl import CrawlConfig, crawl
         from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
 
         layout, pages = synth_pages_df(spark, 150, 5)
         pages = pages.persist()
-        out = tempfile.mkdtemp(prefix="sc_demo_crawl_")
+        tmp = tempfile.mkdtemp(prefix="sc_demo_build_")
         crawl(
-            spark, pages, robots_df(spark, layout), [page_url(0, 0)], out,
-            run_id="demo", config=CrawlConfig(max_pages=60),
+            spark, pages, robots_df(spark, layout), [page_url(0, 0)],
+            os.path.join(tmp, "crawl"), run_id="demo",
+            config=CrawlConfig(max_pages=60),
+        )
+        pages.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(tmp, "corpus")
         )
         pages.unpersist()
-        _CRAWL_CACHE[key] = out
-    return _CRAWL_CACHE[key]
+        with open(os.path.join(tmp, "_READY"), "w") as fh:
+            fh.write("ok")  # marker travels inside the atomic rename
+        os.makedirs(os.path.dirname(DEMO_DIR), exist_ok=True)
+        try:
+            os.rename(tmp, DEMO_DIR)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
+    return _DEMO_CRAWL
 
 
 def crawl_visits_by_depth(spark, sf_dir):
@@ -1088,6 +1107,13 @@ def crawl_visits_by_depth(spark, sf_dir):
     )
 
 
+VISITS_SQL = f"""
+SELECT depth, crawl_status, count(*) AS n, round(avg(n_links), 4) AS avg_links
+FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet')
+GROUP BY depth, crawl_status ORDER BY depth, crawl_status
+"""
+
+
 def crawl_lineage_by_round(spark, sf_dir):
     from sparkcrawler.plans.crawl import read_lineage
 
@@ -1102,6 +1128,45 @@ def crawl_lineage_by_round(spark, sf_dir):
         )
         .orderBy("round")
     )
+
+
+LINEAGE_SQL = f"""
+SELECT round,
+       CAST(sum(frontier_in) AS BIGINT) AS frontier_in,
+       CAST(sum(fetched) AS BIGINT) AS fetched,
+       CAST(sum(deduped) AS BIGINT) AS deduped,
+       CAST(sum(newly_discovered) AS BIGINT) AS newly_discovered
+FROM read_parquet('{_DEMO_CRAWL}/lineage/*/*.parquet')
+GROUP BY round ORDER BY round
+"""
+
+
+def crawl_pages_text(spark, sf_dir):
+    """Read-side parity with the reference's ``SELECT * FROM urls``
+    including the content BLOB (reference data_conn.py:11-16): each
+    crawled URL joined back to its corpus row — the page text is
+    recoverable per URL (md5 proves byte identity across engines)."""
+    from sparkcrawler.plans.crawl import read_crawl_pages
+
+    out = _demo_crawl_dir(spark)
+    corpus = spark.read.parquet(_DEMO_CORPUS)
+    joined = read_crawl_pages(spark, out, corpus)
+    return joined.select(
+        "url",
+        "depth",
+        "crawl_status",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("text_md5"),
+        "lang",
+    ).orderBy("url")
+
+
+PAGES_TEXT_SQL = f"""
+SELECT l.url, l.depth, l.crawl_status,
+       md5(coalesce(c.text, '')) AS text_md5, c.lang
+FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet') l
+LEFT JOIN read_parquet('{_DEMO_CORPUS}/*.parquet') c ON l.url = c.url
+ORDER BY l.url
+"""
 
 
 def pages_outdegree_hist(spark, sf_dir):
@@ -1155,9 +1220,12 @@ CATALOG: dict[str, QuerySpec] = {
     "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
     "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
     "robots_parse_dim": QuerySpec(robots_parse_dim, ROBOTS_PARSE_SQL),
-    # crawl-engine ops: UDF extraction + iterative BFS — no SQL analog
-    "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, None),
-    "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, None),
+    # crawl-engine ops: the BFS itself has no SQL analog, but its
+    # committed parquet is oracle-checked (DuckDB reads the same files)
+    "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, VISITS_SQL),
+    "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, LINEAGE_SQL),
+    "crawl_pages_text": QuerySpec(crawl_pages_text, PAGES_TEXT_SQL),
+    # link extraction is the engine's own HTML-parsing UDF — no SQL analog
     "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, None),
 }
 

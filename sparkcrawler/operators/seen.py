@@ -123,19 +123,146 @@ class PartitionedBloom:
 
         return maybe
 
+    def tag_maybe(self, candidates: DataFrame, spark: SparkSession) -> DataFrame:
+        """Candidates + ``_maybe: boolean`` (broadcast-bitmap consult)."""
+        return candidates.withColumn(
+            "_maybe", self.maybe_seen_udf(spark)(F.col("url_hash"))
+        )
+
+
+class DistributedBloom:
+    """Bloom filter whose shard bitmaps NEVER leave the executors.
+
+    The broadcast :class:`PartitionedBloom` OR-reduces every shard on
+    the driver and ships the whole array to each executor — fine in the
+    sandbox, but a ~10-15 GB driver/broadcast bottleneck at the
+    10^10-URL design point. Here the bitmaps live as a persisted
+    ``(shard, n, bitmap)`` DataFrame co-partitioned with candidates by
+    ``pmod(url_hash, num_shards)``:
+
+    - **build/update**: per-shard delta bitmaps via ``applyInPandas``,
+      OR-merged with the previous state by a second grouped pass —
+      all shuffles move only bitmap-sized rows (one per shard).
+    - **consult**: ``cogroup(...).applyInPandas`` pairs each shard's
+      candidate rows with that shard's single bitmap row inside one
+      task — each executor only ever materializes the shards it owns.
+
+    Same bit layout as :class:`PartitionedBloom` (asserted in tests),
+    so correctness (no false negatives) is inherited.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        num_shards: int = 16,
+        bits_per_shard: int = 1 << 22,
+        k: int = 5,
+    ):
+        self.spark = spark
+        self.num_shards = num_shards
+        self.bits_per_shard = bits_per_shard
+        self.k = k
+        self.bitmaps_df: DataFrame | None = None  # (shard, n, bitmap) persisted
+        self.n_added = 0
+
+    def _delta_bitmaps(self, df: DataFrame) -> DataFrame:
+        P, m, k = self.num_shards, self.bits_per_shard, self.k
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["_shard"].iloc[0])
+            bitmap = np.zeros(m // 8, dtype=np.uint8)
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            for pos in _positions(hs, k, m):
+                np.bitwise_or.at(
+                    bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+            return pd.DataFrame(
+                {"shard": [shard], "n": [len(hs)], "bitmap": [bitmap.tobytes()]}
+            )
+
+        return (
+            df.select("url_hash")
+            .withColumn("_shard", F.pmod(F.col("url_hash"), F.lit(P)))
+            .groupBy("_shard")
+            .applyInPandas(build, schema="shard int, n long, bitmap binary")
+        )
+
+    def update_from_df(self, df: DataFrame, n_rows: int | None = None) -> None:
+        """Fold a delta in. One distributed pass; only per-shard bitmap
+        rows shuffle. ``n_rows`` (if the caller already knows it) avoids
+        a count job for the n_added bookkeeping."""
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            for b in pdf["bitmap"].iloc[1:]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "n": [int(pdf["n"].sum())],
+                    "bitmap": [acc.tobytes()],
+                }
+            )
+
+        delta = self._delta_bitmaps(df)
+        new = (
+            delta
+            if self.bitmaps_df is None
+            else self.bitmaps_df.unionByName(delta)
+            .groupBy("shard")
+            .applyInPandas(merge, schema="shard int, n long, bitmap binary")
+        )
+        new = new.persist()
+        new.count()  # materialize before dropping the previous state
+        if self.bitmaps_df is not None:
+            self.bitmaps_df.unpersist()
+        self.bitmaps_df = new
+        self.n_added += int(n_rows) if n_rows is not None else df.count()
+
+    def tag_maybe(self, candidates: DataFrame, spark: SparkSession) -> DataFrame:
+        """Candidates + ``_maybe`` via shard-local cogroup — no bitmap
+        ever reaches the driver or a broadcast."""
+        if self.bitmaps_df is None:
+            return candidates.withColumn("_maybe", F.lit(False))
+        P, m, k = self.num_shards, self.bits_per_shard, self.k
+        cols = candidates.columns
+        out_schema = candidates.withColumn("_maybe", F.lit(True)).schema
+
+        def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.drop(columns=["_shard"])
+            if left.empty:
+                return left.assign(_maybe=pd.Series([], dtype=bool))
+            if right.empty:
+                return left.assign(_maybe=False)
+            bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
+            hs = left["url_hash"].to_numpy(dtype=np.int64)
+            hit = np.ones(hs.shape[0], dtype=bool)
+            for pos in _positions(hs, k, m):
+                hit &= (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+            return left.assign(_maybe=hit)
+
+        tagged = (
+            candidates.withColumn("_shard", F.pmod(F.col("url_hash"), F.lit(P)))
+            .groupBy("_shard")
+            .cogroup(self.bitmaps_df.groupBy("shard"))
+            .applyInPandas(check, schema=out_schema)
+        )
+        return tagged.select(*cols, "_maybe")
+
 
 def dedup_against_seen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: PartitionedBloom | None = None,
+    bloom: "PartitionedBloom | DistributedBloom | None" = None,
     spark: SparkSession | None = None,
     seen_uncovered: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose url_hash is NOT in ``seen``.
 
-    With a Bloom filter, definite-misses bypass the big anti-join;
-    only suspects are joined against the full seen set. Exactly
-    equivalent to the plain anti-join.
+    With a Bloom filter (broadcast or distributed — anything exposing
+    ``tag_maybe``), definite-misses bypass the big anti-join; only
+    suspects are joined against the full seen set. Exactly equivalent
+    to the plain anti-join.
 
     ``seen_uncovered`` = seen rows added AFTER the bloom's last update
     (the bloom+delta design: updates may be batched, but definite-new
@@ -144,8 +271,7 @@ def dedup_against_seen(
     """
     if bloom is None or bloom.n_added == 0:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
-    maybe = bloom.maybe_seen_udf(spark or candidates.sparkSession)
-    flagged = candidates.withColumn("_maybe", maybe(F.col("url_hash")))
+    flagged = bloom.tag_maybe(candidates, spark or candidates.sparkSession)
     definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
     if seen_uncovered is not None:
         definite_new = definite_new.join(

@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkcrawler import schemas
 from sparkcrawler.functions.urlnorm import canonicalize, host_of
-from sparkcrawler.operators.seen import PartitionedBloom, dedup_against_seen
+from sparkcrawler.operators.seen import (
+    DistributedBloom,
+    PartitionedBloom,
+    dedup_against_seen,
+)
 from sparkcrawler.oracle import url_hash64
 from sparkcrawler.plans.round import FRONTIER_COLS, build_round, discovered_links
 
@@ -76,6 +80,11 @@ class CrawlConfig:
     # driver-side (numpy over the written frontier's url_hash column —
     # no Spark job); above it, the distributed applyInPandas build runs.
     bloom_driver_update_limit: int = 5_000_000
+    # "broadcast": driver-held shard bitmaps shipped to executors
+    # (sandbox-scale). "distributed": bitmaps live as a persisted
+    # DataFrame consulted shard-locally via cogroup — the 10^10-URL
+    # path where the filter is too big for a driver or broadcast.
+    bloom_mode: str = "broadcast"
 
 
 @dataclass
@@ -365,7 +374,16 @@ def crawl(
     # rebuild scans those. Filters only skip definite-misses.
     bloom = None
     bloom_covered = next_round  # bloom holds seen rows with round_added <= this
-    if cfg.use_bloom:
+    if cfg.use_bloom and cfg.bloom_mode == "distributed":
+        bloom = DistributedBloom(
+            spark, cfg.bloom_shards, cfg.bloom_bits_per_shard
+        )
+        dirs = _committed_dirs(out_dir, "frontier", next_round)
+        if dirs:
+            bloom.update_from_df(
+                spark.read.parquet(*dirs).where(F.col("is_new"))
+            )
+    elif cfg.use_bloom:
         import pyarrow.parquet as pq
 
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
@@ -506,19 +524,43 @@ def crawl(
             _write_lineage_rows(out_dir, run_id, r, m)
 
         if bloom is not None and n_new >= cfg.bloom_update_min_batch:
-            if n_new <= cfg.bloom_driver_update_limit:
-                # fold the delta in driver-side from the already-read
-                # url_hash column (the batch is small; no Spark job)
+            # fold in EVERY round not yet covered — this round's delta
+            # plus any round previously skipped by the batching
+            # threshold (otherwise bloom_covered would overclaim and
+            # skipped-round URLs could be re-admitted as definite-new).
+            uncovered_dirs = [
+                _p(out_dir, "frontier", f"r{i}")
+                for i in range(bloom_covered + 1, r + 2)
+                if os.path.exists(_p(out_dir, "frontier", f"r{i}"))
+            ]
+            if isinstance(bloom, DistributedBloom):
+                bloom.update_from_df(
+                    spark.read.parquet(*uncovered_dirs).where(F.col("is_new")),
+                    n_rows=None if bloom_covered < r else n_new,
+                )
+            elif n_new <= cfg.bloom_driver_update_limit and bloom_covered == r:
+                # common case: nothing skipped — fold this round's delta
+                # from the already-read url_hash column (no Spark job)
                 import numpy as np
 
                 for arr in m["new_hashes"]:
                     bloom.add_hashes(np.asarray(arr, dtype=np.int64))
+            elif n_new <= cfg.bloom_driver_update_limit:
+                # skipped rounds to catch up on, still small: fold all
+                # uncovered deltas driver-side from the written files
+                import numpy as np
+                import pyarrow.parquet as pq
+
+                for d in uncovered_dirs:
+                    for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                        t = pq.read_table(f, columns=["is_new", "url_hash"])
+                        is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+                        hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+                        bloom.add_hashes(np.asarray(hashes[is_new], dtype=np.int64))
             else:
-                # huge round → distributed build over the written delta
+                # huge delta → distributed build over the written files
                 bloom.update_from_df(
-                    spark.read.parquet(
-                        *_committed_dirs(out_dir, "frontier", r + 1)
-                    ).where(F.col("is_new") & (F.col("round") > bloom_covered))
+                    spark.read.parquet(*uncovered_dirs).where(F.col("is_new"))
                 )
             bloom_covered = r + 1
         _tr(f"r{r} driver metrics+lineage+bloom", t3)

@@ -113,14 +113,19 @@ def _reach_count(host_pages: int) -> int:
 
 def link_targets(h: int, j: int, layout: CorpusLayout, page_index: int) -> list[int]:
     """Deterministic in-domain link targets (within-host indices):
-    f-ary tree children + a chain edge + seeded extras."""
+    f-ary tree children + a chain edge + seeded uniform extras.
+
+    Extras draw uniformly over the whole reachable range (not just the
+    already-tree-covered prefix) — the web-like shape: BFS depth stays
+    ~log_f(host size) with no long single-page discovery tail, while
+    the last 10% (orphans) remain unreachable."""
     reach = _reach_count(layout.host_counts[h])
     f = layout.fanout
     k = 1 + page_index % 5 if f == 2 else f + 1 + page_index % 5
     rnd = random.Random(SEED + page_index)
     candidates = [f * j + i for i in range(1, f + 1)] + [j + 1]
     while len(candidates) < k:
-        candidates.append(rnd.randrange(0, max(1, min(reach, f * j + f + 1))))
+        candidates.append(rnd.randrange(0, max(1, reach)))
     out: list[int] = []
     for t in candidates[:k]:
         if t < reach and t != j and t not in out:

@@ -233,3 +233,25 @@ def test_lineage_totals_consistent(spark, full_run):
         assert by_round[st["round"]]["new"] == st["new"]
     total_fetched = sum(r["fetched"] for r in agg)
     assert total_fetched == sum(1 for r in log if r["crawl_status"] == 2)
+
+
+def test_bloom_partial_batching_equivalent(spark, corpus, full_run):
+    """Regression: with an intermediate update threshold some rounds'
+    deltas are skipped then caught up later — the catch-up must fold
+    EVERY uncovered round (a covered-but-unfolded round would let seen
+    URLs re-enter the frontier as definite-new)."""
+    seed, _, log_full, seen_full, _ = full_run
+    cfg = CrawlConfig(max_pages=10_000, bloom_update_min_batch=30)
+    _, log2, seen2, _ = _crawl(spark, corpus, seed, cfg)
+    assert _log_key(log2) == _log_key(log_full)
+    assert seen2 == seen_full
+
+
+def test_distributed_bloom_crawl_identical(spark, corpus, full_run):
+    """bloom_mode=distributed (cogroup consult, DataFrame-resident
+    bitmaps) must reproduce the broadcast-bloom crawl bit-for-bit."""
+    seed, _, log_full, seen_full, _ = full_run
+    cfg = CrawlConfig(max_pages=10_000, bloom_mode="distributed")
+    _, log2, seen2, _ = _crawl(spark, corpus, seed, cfg)
+    assert _log_key(log2) == _log_key(log_full)
+    assert seen2 == seen_full

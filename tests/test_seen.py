@@ -59,3 +59,60 @@ def test_bloom_update_local_matches_df_build(spark):
     b2.update_local(hashes)
     assert (b1.bitmaps == b2.bitmaps).all()
     assert b1.n_added == b2.n_added == 50
+
+
+# ---------------------------------------------------- distributed bloom --
+
+
+def test_distributed_bloom_bitmaps_match_broadcast(spark):
+    """Same bit layout as PartitionedBloom: per-shard bitmaps collected
+    from the DataFrame state equal the driver-built arrays."""
+    import numpy as np
+
+    from sparkcrawler.operators.seen import DistributedBloom
+
+    seen = _df(spark, [f"https://h.example/p/{i}" for i in range(400)])
+    pb = PartitionedBloom(num_shards=4, bits_per_shard=1 << 14)
+    pb.update_from_df(seen)
+    db = DistributedBloom(spark, num_shards=4, bits_per_shard=1 << 14)
+    # two incremental updates → the OR-merge pass must fold correctly
+    db.update_from_df(seen.where(F.col("url_hash") % 2 == 0))
+    db.update_from_df(seen.where(F.col("url_hash") % 2 != 0))
+    assert db.n_added == 400
+    rows = {r["shard"]: r["bitmap"] for r in db.bitmaps_df.collect()}
+    for shard, blob in rows.items():
+        assert (np.frombuffer(blob, dtype=np.uint8) == pb.bitmaps[shard]).all()
+
+
+def test_distributed_bloom_dedup_equals_plain_antijoin(spark):
+    from sparkcrawler.operators.seen import DistributedBloom
+
+    seen = _df(spark, [f"https://h.example/p/{i}" for i in range(300)])
+    cands = _df(
+        spark,
+        [f"https://h.example/p/{i}" for i in range(200, 600)]
+        + [f"https://other.example/q/{i}" for i in range(50)],
+    )
+    plain = {
+        r["url"]
+        for r in cands.join(seen.select("url_hash"), "url_hash", "left_anti").collect()
+    }
+    for bits in (1 << 10, 1 << 18):  # tiny bitmap forces false positives
+        db = DistributedBloom(spark, num_shards=4, bits_per_shard=bits)
+        db.update_from_df(seen, n_rows=300)
+        got = {
+            r["url"] for r in dedup_against_seen(cands, seen, db, spark).collect()
+        }
+        assert got == plain, bits
+
+
+def test_distributed_bloom_many_shards(spark):
+    """Shard count far beyond what a driver would OR-reduce comfortably:
+    the state stays a DataFrame, consult stays cogroup-local."""
+    from sparkcrawler.operators.seen import DistributedBloom
+
+    seen = _df(spark, [f"https://h.example/p/{i}" for i in range(500)])
+    db = DistributedBloom(spark, num_shards=64, bits_per_shard=1 << 12)
+    db.update_from_df(seen, n_rows=500)
+    flags = db.tag_maybe(seen, spark).select("_maybe").collect()
+    assert all(r["_maybe"] for r in flags)  # no false negatives
