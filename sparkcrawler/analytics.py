@@ -954,6 +954,45 @@ ORDER BY o_orderkey
 """
 
 
+def media_metadata(spark, sf_dir):
+    """Multimodal columns: a deterministic media table (binary blobs
+    with REAL png/gif/wav headers, metadata a pure function of the
+    index) sniffed by the engine's header parser
+    (sparkcrawler.functions.media) — the oracle recomputes the expected
+    metadata parametrically, so a parse bug is a hash mismatch."""
+    from sparkcrawler.functions.media import sniff_media_udf, synth_media_rows
+
+    rows = synth_media_rows(200)
+    df = spark.createDataFrame(
+        [(r["media_id"], r["blob"]) for r in rows],
+        "media_id string, blob binary",
+    )
+    return (
+        df.select("media_id", sniff_media_udf("blob").alias("m"))
+        .select(
+            "media_id", "m.format", "m.width", "m.height",
+            "m.sample_rate", "m.byte_len",
+        )
+        .orderBy("media_id")
+    )
+
+
+MEDIA_SQL = """
+SELECT printf('m%05d', i) AS media_id,
+       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+       CASE i % 3 WHEN 0 THEN CAST(16 + i % 64 AS INTEGER)
+                  WHEN 1 THEN CAST(32 + i % 16 AS INTEGER)
+                  ELSE NULL END AS width,
+       CASE i % 3 WHEN 0 THEN CAST(9 + i % 32 AS INTEGER)
+                  WHEN 1 THEN CAST(24 + i % 8 AS INTEGER)
+                  ELSE NULL END AS height,
+       CASE i % 3 WHEN 2 THEN CAST(8000 + 100 * (i % 5) AS INTEGER)
+                  ELSE NULL END AS sample_rate,
+       CASE i % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 28 END AS byte_len
+FROM range(200) t(i) ORDER BY media_id
+"""
+
+
 def robots_parse_dim(spark, sf_dir):
     """robots.txt content → dimension parse (reference downloader.py:24-44
     Protego semantics: UA-* groups, comments, empty Disallow, file-global
@@ -1220,6 +1259,7 @@ CATALOG: dict[str, QuerySpec] = {
     "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
     "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
     "robots_parse_dim": QuerySpec(robots_parse_dim, ROBOTS_PARSE_SQL),
+    "media_metadata": QuerySpec(media_metadata, MEDIA_SQL),
     # crawl-engine ops: the BFS itself has no SQL analog, but its
     # committed parquet is oracle-checked (DuckDB reads the same files)
     "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, VISITS_SQL),

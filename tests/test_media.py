@@ -1,0 +1,110 @@
+"""Multimodal media operators: header sniffing (real), the
+mapInPandas decode pipeline (schema/batching real, pixel decode
+stubbed), and the synthetic media table round-trip."""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+import pytest
+
+from sparkcrawler.functions.media import (
+    DECODE_SCHEMA,
+    decode_image_batches,
+    decode_media,
+    gif_bytes,
+    png_bytes,
+    sniff_media_py,
+    sniff_media_udf,
+    synth_media_rows,
+    wav_bytes,
+)
+
+# ------------------------------------------------------------- sniffer --
+
+
+def test_sniff_png():
+    m = sniff_media_py(png_bytes(640, 480))
+    assert (m["format"], m["width"], m["height"]) == ("png", 640, 480)
+
+
+def test_sniff_gif():
+    m = sniff_media_py(gif_bytes(320, 200))
+    assert (m["format"], m["width"], m["height"]) == ("gif", 320, 200)
+
+
+def test_sniff_wav():
+    m = sniff_media_py(wav_bytes(44100))
+    assert (m["format"], m["sample_rate"]) == ("wav", 44100)
+    assert m["width"] is None
+
+
+def test_sniff_jpeg_sof_walk():
+    # FFD8 + APP0 segment + SOF0 with height=77 width=99
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 77, 99
+    ) + b"\x03" + b"\x00" * 9
+    m = sniff_media_py(b"\xff\xd8" + app0 + sof0)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 99, 77)
+
+
+def test_sniff_bmp():
+    hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 120, -60)
+    m = sniff_media_py(hdr)
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 120, 60)
+
+
+def test_sniff_garbage_and_null():
+    assert sniff_media_py(b"\x00\x01\x02")["format"] == "unknown"
+    assert sniff_media_py(None) == {
+        "format": "unknown", "width": None, "height": None,
+        "sample_rate": None, "byte_len": 0,
+    }
+
+
+def test_sniff_udf_batched(spark):
+    rows = synth_media_rows(60)
+    df = spark.createDataFrame(
+        [(r["media_id"], r["blob"]) for r in rows],
+        "media_id string, blob binary",
+    )
+    got = {
+        r["media_id"]: r["m"]["format"]
+        for r in df.select("media_id", sniff_media_udf("blob").alias("m")).collect()
+    }
+    for i, r in enumerate(rows):
+        want = ["png", "gif", "wav"][i % 3]
+        assert got[r["media_id"]] == want
+
+
+# ------------------------------------------------------ decode pipeline --
+
+
+def test_decode_media_schema_and_determinism(spark):
+    rows = synth_media_rows(40)
+    df = spark.createDataFrame(
+        [(r["media_id"], r["blob"]) for r in rows],
+        "media_id string, blob binary",
+    ).repartition(4)
+    out = decode_media(df)
+    assert out.schema == DECODE_SCHEMA
+    got = {r["media_id"]: r for r in out.collect()}
+    assert len(got) == 40  # one feature row per media row, across partitions
+    # deterministic: driver-side recompute of one batch matches
+    local = next(
+        decode_image_batches(
+            iter([pd.DataFrame({"media_id": [rows[0]["media_id"]],
+                                "blob": [rows[0]["blob"]]})])
+        )
+    )
+    r0 = got[rows[0]["media_id"]]
+    assert r0["feat_dim"] == int(local["feat_dim"].iloc[0]) == 16
+    assert r0["feat_norm"] == pytest.approx(float(local["feat_norm"].iloc[0]))
+    assert r0["format"] == "png"
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        next(decode_image_batches(iter([]), real_decode=True))
