@@ -136,6 +136,21 @@ def _disallowed(entry: Entry, robots: dict) -> bool:
     return any(path.startswith(p) for p in prefixes)
 
 
+_BACKOFF_BASE_DELAY = 10.0  # == plans.round.BACKOFF_BASE_DELAY
+_BACKOFF_FACTOR = 1.5       # == plans.round.BACKOFF_FACTOR
+
+
+def _page_of(pages: dict, url: str):
+    """(html, status_code) — corpus values are bytes (status implied
+    200) or dicts with optional ``status_code`` (WARC-style corpus)."""
+    v = pages.get(url)
+    if v is None:
+        return None, None
+    if isinstance(v, dict):
+        return v.get("html"), v.get("status_code")
+    return v, None
+
+
 def simulate(
     pages: dict[str, object],
     robots: dict[str, dict],
@@ -157,6 +172,7 @@ def simulate(
     log: list[dict] = []
     visited = 0
     rounds = 0
+    backoff_k: dict[str, int] = {}  # host -> rounds with >=1 429 observed
     while frontier and visited < max_pages and rounds < max_rounds:
         remaining = max_pages - visited
         pool = sorted(frontier, key=lambda e: e.order_key)
@@ -167,12 +183,18 @@ def simulate(
         for e in pool:
             (disallowed if _disallowed(e, robots) else allowed).append(e)
 
-        # per-host politeness budget (only hosts with a crawl_delay)
+        # per-host politeness budget (hosts with a crawl_delay and/or a
+        # 429 backoff history; backoff inflates the effective delay)
         admitted, deferred = [], []
         taken: dict[str, int] = {}
         for e in allowed:  # already in order_key order
             rule = robots.get(e.host) or {}
             delay = rule.get("crawl_delay")
+            k = backoff_k.get(e.host, 0)
+            if k:
+                delay = max(delay or 0.0, _BACKOFF_BASE_DELAY) * (
+                    _BACKOFF_FACTOR ** (k - 1)
+                )
             if delay and delay > 0:
                 budget = max(int(round_seconds // delay), 1)
                 if taken.get(e.host, 0) >= budget:
@@ -183,6 +205,7 @@ def simulate(
 
         discovered: list[Entry] = []
         in_round: set[str] = set()
+        round_429_hosts: set[str] = set()
         for e in disallowed:
             log.append(
                 {"url": e.url, "depth": e.depth, "round": rounds,
@@ -190,7 +213,7 @@ def simulate(
             )
             visited += 1
         for e in admitted:
-            html = pages.get(e.url)
+            html, status = _page_of(pages, e.url)
             if html is None:
                 if e.attempt + 1 < retries:
                     deferred.append(replace(e, attempt=e.attempt + 1))
@@ -200,6 +223,30 @@ def simulate(
                          "crawl_status": -2, "status_code": 404, "links": None}
                     )
                     visited += 1
+                continue
+            if status == 429:
+                # rate-limited: backoff next round; bounded retry
+                round_429_hosts.add(e.host)
+                if e.attempt + 1 < retries:
+                    # non-terminal observation row (engine logs it too)
+                    log.append(
+                        {"url": e.url, "depth": e.depth, "round": rounds,
+                         "crawl_status": 0, "status_code": 429, "links": None}
+                    )
+                    deferred.append(replace(e, attempt=e.attempt + 1))
+                else:
+                    log.append(
+                        {"url": e.url, "depth": e.depth, "round": rounds,
+                         "crawl_status": -2, "status_code": 429, "links": None}
+                    )
+                    visited += 1
+                continue
+            if status is not None and status != 200:
+                log.append(
+                    {"url": e.url, "depth": e.depth, "round": rounds,
+                     "crawl_status": -2, "status_code": status, "links": None}
+                )
+                visited += 1
                 continue
             links = oracle_links(e.url, html)
             log.append(
@@ -217,6 +264,8 @@ def simulate(
 
         for e in discovered:
             seen.add(e.url)
+        for h in round_429_hosts:
+            backoff_k[h] = backoff_k.get(h, 0) + 1
         frontier = deferred + discovered
         rounds += 1
 

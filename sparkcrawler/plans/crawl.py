@@ -233,19 +233,30 @@ def _round_file_stats(out_dir: str, r: int) -> dict:
 
     stats = {
         "processed": 0, "fetched": 0, "link_occurrences": 0,
-        "newly_discovered": 0, "deferred": 0,
+        "newly_discovered": 0, "deferred": 0, "hosts_429": set(),
         "log_files": [], "frontier_files": [], "new_hashes": [],
     }
     for f in sorted(glob.glob(_p(out_dir, "crawl_log", f"r{r}", "*.parquet"))):
-        t = pq.read_table(f, columns=["crawl_status", "n_links"])
+        t = pq.read_table(
+            f, columns=["crawl_status", "n_links", "status_code", "host"]
+        )
         status = t.column("crawl_status").to_numpy(zero_copy_only=False)
         n_links = t.column("n_links").to_pylist()
         fetched = int((status == schemas.PARSED).sum())
         links = int(sum(n for n in n_links if n is not None))
+        # FRONTIER-status rows are 429 observations (re-enqueued, not
+        # terminal) — they do not count toward visited pages
+        terminal = int((status != schemas.FRONTIER).sum())
+        codes = t.column("status_code").to_numpy(zero_copy_only=False)
+        if (codes == 429).any():
+            hosts = t.column("host").to_pylist()
+            stats["hosts_429"].update(
+                h for h, c in zip(hosts, codes) if c == 429
+            )
         stats["log_files"].append(
             {"rows": t.num_rows, "fetched": fetched, "links": links}
         )
-        stats["processed"] += t.num_rows
+        stats["processed"] += terminal
         stats["fetched"] += fetched
         stats["link_occurrences"] += links
     for f in sorted(glob.glob(_p(out_dir, "frontier", f"r{r + 1}", "*.parquet"))):
@@ -326,6 +337,12 @@ def crawl(
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
+    # 429 adaptive backoff (reference main.py:80-84): host -> number of
+    # rounds in which it emitted >=1 429; effective crawl_delay is
+    # max(delay, BACKOFF_BASE_DELAY) * BACKOFF_FACTOR^(k-1). Rebuilt
+    # from the committed log on resume (bit-identical resumes).
+    backoff_k: dict[str, int] = {}
+
     resume_round = _max_committed_round(out_dir)
     if resume_round is None:
         # ---- fresh run: commit the seed snapshot ("init") ----
@@ -355,15 +372,26 @@ def crawl(
         next_round = resume_round + 1
         # count only COMMITTED rounds — a round that died mid-write may
         # have left an uncommitted crawl_log/r{k} behind (it will be
-        # overwritten when round k re-runs). Footer row counts only —
-        # no Spark job on resume.
+        # overwritten when round k re-runs). Driver-side column reads,
+        # no Spark job: terminal rows for `visited`, 429 hosts per
+        # round to rebuild the adaptive-backoff multipliers.
         import pyarrow.parquet as pq
 
-        visited = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for d in _committed_dirs(out_dir, "crawl_log", resume_round)
-            for f in glob.glob(os.path.join(d, "*.parquet"))
-        )
+        visited = 0
+        for d in _committed_dirs(out_dir, "crawl_log", resume_round):
+            round_429_hosts: set[str] = set()
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                t = pq.read_table(f, columns=["crawl_status", "status_code", "host"])
+                status = t.column("crawl_status").to_numpy(zero_copy_only=False)
+                visited += int((status != schemas.FRONTIER).sum())
+                codes = t.column("status_code").to_numpy(zero_copy_only=False)
+                if (codes == 429).any():
+                    hosts = t.column("host").to_pylist()
+                    round_429_hosts.update(
+                        h for h, c in zip(hosts, codes) if c == 429
+                    )
+            for h in round_429_hosts:
+                backoff_k[h] = backoff_k.get(h, 0) + 1
         _append_run_event(
             out_dir, run_id, seed_urls[0] if seed_urls else None,
             cfg.max_pages, "resume_run",
@@ -458,6 +486,15 @@ def crawl(
                 ).distinct().collect()
             ]
             _tr(f"r{r} bucket probe ({len(frontier_buckets)} buckets)", t_round)
+        backoff_df = None
+        if backoff_k:
+            from sparkcrawler.plans.round import BACKOFF_FACTOR
+
+            backoff_df = spark.createDataFrame(
+                [(h, float(BACKOFF_FACTOR ** (k - 1))) for h, k in
+                 sorted(backoff_k.items())],
+                "host string, delay_mult double",
+            )
         plan = build_round(
             pages, robots, frontier, run_id, r,
             round_seconds=cfg.round_seconds,
@@ -468,6 +505,7 @@ def crawl(
             frontier_buckets=frontier_buckets,
             frontier_urls=frontier_urls,
             broadcast_frontier_limit=cfg.broadcast_frontier_limit,
+            backoff=backoff_df,
         )
         # windows compute once: both the crawl_log job and the
         # next-frontier job read the politeness decision from cache;
@@ -520,6 +558,8 @@ def crawl(
         processed = m["processed"]
         n_new = m["newly_discovered"]
         n_deferred = m["deferred"]
+        for h in m["hosts_429"]:
+            backoff_k[h] = backoff_k.get(h, 0) + 1
         if cfg.lineage:
             _write_lineage_rows(out_dir, run_id, r, m)
 

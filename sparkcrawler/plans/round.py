@@ -27,6 +27,14 @@ from sparkcrawler.operators.robots import apply_robots_gate
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "round", "attempt"]
 
+# On a 429, the reference sleeps 10s and multiplies its poll interval by
+# 1.5 (reference main.py:80-84). The distributed analog: a host that
+# emitted >=1 429 in k rounds gets effective crawl_delay
+# max(crawl_delay, BACKOFF_BASE_DELAY) * BACKOFF_FACTOR^(k-1), shrinking
+# its politeness budget each backoff round.
+BACKOFF_BASE_DELAY = 10.0
+BACKOFF_FACTOR = 1.5
+
 def trim_order():
     """Deterministic total order used for the max_pages trim (SURVEY.md §7.3)."""
     return [F.col("depth"), F.col("priority"), F.col("url_hash"), F.col("url")]
@@ -65,6 +73,7 @@ def build_round(
     broadcast_frontier_limit: int = 2_000_000,
     frontier_buckets: list[int] | None = None,
     frontier_urls: list[str] | None = None,
+    backoff: DataFrame | None = None,
 ) -> RoundPlan:
     f = frontier.select(*FRONTIER_COLS)
 
@@ -75,6 +84,23 @@ def build_round(
         f = f.orderBy(*trim_order()).limit(max_admit)
 
     gated = apply_robots_gate(f, robots)
+
+    # 429 adaptive backoff: hosts with a 429 history (tiny broadcast dim
+    # (host, delay_mult), maintained by the driver) get an inflated
+    # effective crawl_delay before the politeness window.
+    if backoff is not None:
+        gated = gated.join(F.broadcast(backoff), "host", "left").withColumn(
+            "crawl_delay",
+            F.when(
+                F.col("delay_mult").isNotNull(),
+                F.greatest(
+                    F.coalesce(F.col("crawl_delay"), F.lit(0.0)),
+                    F.lit(BACKOFF_BASE_DELAY),
+                )
+                * F.col("delay_mult"),
+            ).otherwise(F.col("crawl_delay")),
+        ).drop("delay_mult")
+
     disallowed = gated.where(~F.col("allowed"))
     allowed = gated.where(F.col("allowed"))
 
@@ -112,12 +138,20 @@ def build_round(
         # plus parquet row-group min/max skipping (buckets are sorted by
         # url), so a tail round reads a sliver of the corpus.
         corpus = corpus.where(F.col("url").isin(frontier_urls))
-    corpus = corpus.select("url", "html")
+    # optional status_code column (a WARC-derived corpus carries the
+    # HTTP status): 200/NULL = fetched, 429 = rate-limited (backoff +
+    # bounded retry), anything else = terminal error with that code.
+    has_status = "status_code" in pages.columns
+    corpus = corpus.select(
+        "url", "html", *(["status_code"] if has_status else [])
+    )
     broadcast_mode = (
         frontier_count is not None and frontier_count <= broadcast_frontier_limit
     )
     if broadcast_mode:
-        ok = corpus.join(F.broadcast(admitted), "url")
+        ok = corpus.join(F.broadcast(admitted), "url").where(
+            F.col("html").isNotNull()
+        )
     else:
         fetched = admitted.join(corpus, "url", "left")
         ok = fetched.where(F.col("html").isNotNull())
@@ -140,7 +174,10 @@ def build_round(
         )
         .withColumn("_text_len", F.col("_page.text_len"))
         .drop("_page", "html")
-        .select(*FRONTIER_COLS, "links", "_text_len")
+        .select(
+            *FRONTIER_COLS, "links", "_text_len",
+            *(["status_code"] if has_status else []),
+        )
     )
 
     if broadcast_mode:
@@ -156,6 +193,9 @@ def build_round(
         missing = fetched.where(F.col("html").isNull())
 
     def log_row(df, status, code, with_links: bool):
+        from pyspark.sql import Column
+
+        code = code if isinstance(code, Column) else F.lit(code)
         links = F.col("links") if with_links else F.lit(None).cast("array<string>")
         n_links = F.size("links").cast("int") if with_links else F.lit(None).cast("int")
         text_len = (
@@ -174,7 +214,7 @@ def build_round(
             "host",
             F.col("depth").cast("int").alias("depth"),
             F.lit(status).cast("int").alias("crawl_status"),
-            F.lit(code).cast("int").alias("status_code"),
+            code.cast("int").alias("status_code"),
             links.alias("links"),
             n_links.alias("n_links"),
             text_len.alias("text_len"),
@@ -183,11 +223,37 @@ def build_round(
     retryable = missing.where(F.col("attempt") + 1 < F.lit(retries))
     dead = missing.where(F.col("attempt") + 1 >= F.lit(retries))
 
+    if has_status:
+        st = F.col("status_code")
+        parsed_rows = extracted.where(st.isNull() | (st == 200))
+        rl = extracted.where(st == 429)
+        rl_retry = rl.where(F.col("attempt") + 1 < F.lit(retries))
+        rl_dead = rl.where(F.col("attempt") + 1 >= F.lit(retries))
+        err_other = extracted.where(
+            st.isNotNull() & (st != 200) & (st != 429)
+        )
+    else:
+        parsed_rows = extracted
+        rl_retry = None
+
     crawl_log = (
-        log_row(extracted, schemas.PARSED, 200, True)
+        log_row(parsed_rows, schemas.PARSED, 200, True)
         .unionByName(log_row(disallowed, schemas.DISALLOWED, 403, False))
         .unionByName(log_row(dead, schemas.ERROR, 404, False))
     )
+    if has_status:
+        crawl_log = (
+            crawl_log
+            # terminal 429 (retries exhausted) and other HTTP errors
+            .unionByName(log_row(rl_dead, schemas.ERROR, 429, False))
+            .unionByName(
+                log_row(err_other, schemas.ERROR, F.col("status_code"), False)
+            )
+            # 429 OBSERVATION rows (non-terminal, crawl_status=FRONTIER):
+            # the audit trail the driver's backoff reads; the URL is
+            # re-enqueued below, so these do not count as visited.
+            .unionByName(log_row(rl_retry, schemas.FRONTIER, 429, False))
+        )
 
     next_round = (F.col("round") + 1).cast("int")
     deferred_out = (
@@ -199,6 +265,12 @@ def build_round(
             .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
         )
     )
+    if has_status and rl_retry is not None:
+        deferred_out = deferred_out.unionByName(
+            rl_retry.select(*FRONTIER_COLS)
+            .withColumn("round", next_round)
+            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
+        )
 
     return RoundPlan(
         crawl_log=crawl_log,
@@ -220,6 +292,11 @@ def discovered_links(parsed: DataFrame) -> DataFrame:
     """
     if "crawl_status" in parsed.columns:
         parsed = parsed.where(F.col("crawl_status") == schemas.PARSED)
+    if "status_code" in parsed.columns:
+        # rate-limited / HTTP-error fetches are not parsed pages —
+        # their links never enter discovery
+        st = F.col("status_code")
+        parsed = parsed.where(st.isNull() | (st == 200))
     exploded = (
         parsed.select(
             F.explode("links").alias("url"),

@@ -162,16 +162,28 @@ def gen_html(page_index: int, layout: CorpusLayout) -> tuple[str, str]:
     return url, html
 
 
-def gen_page_row(page_index: int, layout: CorpusLayout) -> dict:
+def is_rate_limited(h: int, j: int, rate_limit_host: int | None) -> bool:
+    """Deterministic 429 pattern: every 13th page of the designated host
+    answers 429 on every fetch (a perpetually throttled endpoint)."""
+    return rate_limit_host is not None and h == rate_limit_host and j % 13 == 4
+
+
+def gen_page_row(
+    page_index: int, layout: CorpusLayout, rate_limit_host: int | None = None
+) -> dict:
     url, html = gen_html(page_index, layout)
     html_bytes = html.encode("utf-8")
-    return {
+    row = {
         "url": url,
         "warc_ts": _EPOCH + dt.timedelta(seconds=page_index),
         "html": html_bytes,
         "text": extract_text_py(html_bytes),
         "lang": _LANGS[page_index % len(_LANGS)],
     }
+    if rate_limit_host is not None:
+        h, j = layout.locate(page_index)
+        row["status_code"] = 429 if is_rate_limited(h, j, rate_limit_host) else 200
+    return row
 
 
 # ------------------------------------------------------- robots + sitemaps --
@@ -282,36 +294,60 @@ def sitemap_pages(layout: CorpusLayout) -> list[dict]:
 def synth_pages_local(
     n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
     fanout: int = 2, extra_paras: int = 0, with_robots: bool = False,
+    rate_limit_host: int | None = None,
 ):
     """Small-scale corpus as a list of dicts (for pytest + the oracle)."""
     layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
-    rows = [gen_page_row(i, layout) for i in range(n_pages)]
+    rows = [gen_page_row(i, layout, rate_limit_host) for i in range(n_pages)]
+    extra = []
     if with_sitemaps:
-        rows.extend(sitemap_pages(layout))
+        extra.extend(sitemap_pages(layout))
     if with_robots:
-        rows.extend(robots_txt_pages(layout))
+        extra.extend(robots_txt_pages(layout))
+    if rate_limit_host is not None:
+        for r in extra:
+            r.setdefault("status_code", 200)
+    rows.extend(extra)
     return layout, rows
 
 
 def synth_pages_df(
     spark, n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
     fanout: int = 2, extra_paras: int = 0, with_robots: bool = False,
+    rate_limit_host: int | None = None,
 ):
-    """Distributed corpus: spark.range → mapInPandas, no driver blowup."""
+    """Distributed corpus: spark.range → mapInPandas, no driver blowup.
+
+    ``rate_limit_host`` adds the optional ``status_code`` column (as a
+    real WARC-derived corpus carries) with deterministic 429 rows — the
+    adaptive-backoff exercise. Without it the schema is exactly PAGES.
+    """
     import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     from sparkcrawler.schemas import PAGES
 
     layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
+    schema = PAGES
+    if rate_limit_host is not None:
+        # fresh StructType — StructType.add would MUTATE the shared
+        # PAGES instance and poison every later schema-less corpus
+        schema = StructType(
+            list(PAGES.fields) + [StructField("status_code", IntegerType(), True)]
+        )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
-            rows = [gen_page_row(int(i), layout) for i in batch["id"]]
+            rows = [
+                gen_page_row(int(i), layout, rate_limit_host)
+                for i in batch["id"]
+            ]
             yield pd.DataFrame(rows)
 
     parallelism = spark.sparkContext.defaultParallelism
     df = spark.range(0, n_pages, numPartitions=parallelism).mapInPandas(
-        gen, schema=PAGES
+        gen, schema=schema
     )
     extra_rows: list[dict] = []
     if with_sitemaps:
@@ -319,7 +355,10 @@ def synth_pages_df(
     if with_robots:
         extra_rows.extend(robots_txt_pages(layout))
     if extra_rows:
-        df = df.unionByName(spark.createDataFrame(extra_rows, PAGES))
+        if rate_limit_host is not None:
+            for r in extra_rows:
+                r.setdefault("status_code", 200)
+        df = df.unionByName(spark.createDataFrame(extra_rows, schema))
     return layout, df
 
 
