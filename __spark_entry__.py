@@ -32,6 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n_docs = docs.count()
 
+    # materialize the fixed demo-crawl dir the crawl-query DuckDB
+    # oracles read, so it exists whichever order the driver evaluates
+    analytics._demo_crawl_dir(spark)
+
     layout, pages = synth_pages_df(spark, 150, 5)
     pages = pages.persist()
     out = tempfile.mkdtemp(prefix="sc_entry_")

@@ -76,6 +76,35 @@ def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 10
     return layout, spark.read.parquet(cache)
 
 
+def bench_control_udf(spark, n_pages: int, fanout: int, paras: int) -> dict:
+    """Host-ceiling control: the raw extract-UDF scan over the same
+    corpus with ZERO crawl machinery (no frontier, joins, windows,
+    dedup, writes). Its N→4N speedup is the best any UDF-bound stage
+    can do on this machine; the crawl's steady-state efficiency is
+    judged against it, not against an ideal 4.0."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    _, pages = build_corpus(spark, n_pages, fanout, paras)
+    from sparkcrawler.functions.extract import extract_page_udf
+
+    corpus = pages.select("url", "html")
+    t0 = _t.time()
+    total = (
+        corpus.withColumn("p", extract_page_udf("url", "html"))
+        .select(F.size("p.links").alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    wall = _t.time() - t0
+    return {
+        "control_udf_sec": round(wall, 2),
+        "control_links": int(total),
+        "control_pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
 def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
     from sparkcrawler.plans.crawl import CrawlConfig, crawl
     from sparkcrawler.sources.synth import page_url, robots_df
@@ -161,6 +190,13 @@ def main() -> None:
         "spark.sql.warehouse.dir": "/tmp/sparkcrawler_bench/warehouse",
         "spark.driver.extraJavaOptions":
             "-Dderby.system.home=/tmp/sparkcrawler_bench/derby",
+        # measured A/B (16m/28m/56m/128m at 2 and 8 cores): finer scan
+        # partitions LOWER absolute throughput and scaling alike — the
+        # per-task Arrow/pandas setup outweighs wave balancing at this
+        # corpus size — so the Spark default (128m) stands; override for
+        # experiments via SPARK_BENCH_MPB.
+        "spark.sql.files.maxPartitionBytes":
+            os.environ.get("SPARK_BENCH_MPB", "128m"),
     }
     if os.environ.get("SPARK_BENCH_AQE", "0") == "0":  # AQE off measured faster at this scale
         extra_conf["spark.sql.adaptive.enabled"] = "false"
@@ -178,6 +214,8 @@ def main() -> None:
     }
 
     total = 0.0
+    if os.environ.get("SPARK_BENCH_CONTROL"):
+        result.update(bench_control_udf(spark, n_pages, fanout, paras))
     if not os.environ.get("SPARK_BENCH_SKIP_CRAWL"):
         crawl_stats = bench_crawl(spark, n_pages, fanout, paras)
         result.update(crawl_stats)

@@ -80,7 +80,26 @@ def build_round(
     # max_pages trim: the reference stops at completed_pages >= max_pages
     # (cache.py:57-59); we admit only the remaining budget, in a
     # deterministic total order, so the final visit set is reproducible.
+    # At 10^10-frontier scale a global TakeOrdered over everything is
+    # wasteful when the budget is tiny: trim_order's leading key is
+    # depth, so a depth-histogram pre-filter (one cheap agg) bounds the
+    # sort input to the depths that can possibly contain winners —
+    # exact result, tiny sort.
     if max_admit is not None:
+        if frontier_count is not None and frontier_count > 8 * max_admit:
+            hist = sorted(
+                (row["depth"], row["n"])
+                for row in f.groupBy("depth")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            cum, cutoff = 0, hist[-1][0]
+            for d, n in hist:
+                cum += n
+                if cum >= max_admit:
+                    cutoff = d
+                    break
+            f = f.where(F.col("depth") <= F.lit(cutoff))
         f = f.orderBy(*trim_order()).limit(max_admit)
 
     gated = apply_robots_gate(f, robots)
