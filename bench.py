@@ -159,6 +159,7 @@ HEADLINE = [
     "docs_lsh_buckets",
     "docs_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "embeddings_centroids",
 ]
 
