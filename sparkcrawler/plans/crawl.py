@@ -12,13 +12,29 @@ is exactly the previously committed parquet.
 Job budget (scaling design): exactly TWO Spark jobs per round — the
 crawl_log write (the one extract-UDF execution) and the next-frontier
 write (discovery + seen dedup). Everything else the driver derives from
-the just-written parquet files with pyarrow (row counts, per-file
-lineage counters, Bloom delta hashes, run events): a Spark job costs
-seconds of scheduling in local mode and driver round-trips on a
-cluster, while a driver-side columnar read of a round's output is
-milliseconds. The URL-seen table is not written at all — it is a VIEW
-over the committed frontier snapshots (rows tagged ``is_new``), so the
-previous third write job is free.
+the just-written parquet files (row counts, per-file lineage counters,
+Bloom delta hashes, run events): a Spark job costs seconds of
+scheduling in local mode and driver round-trips on a cluster, while a
+driver-side columnar read of a round's output is milliseconds. The
+URL-seen table is not written at all — it is a VIEW over the committed
+frontier snapshots (rows tagged ``is_new``), so the previous third
+write job is free.
+
+Driver-memory bounds (the 10^10-frontier design point):
+
+- resume is O(rounds), not O(rows): each round's commit marker carries
+  ``processed`` and ``hosts_429``, so a resumed run reconstructs the
+  visited count and the 429 backoff multipliers from the tiny markers
+  alone — no committed crawl_log file is ever re-read.
+- per-round metrics read the ``is_new`` flag column only (1 bit/row);
+  the 8-byte ``url_hash`` column is read lazily, and only when the
+  round's new-URL count is small enough that the Bloom delta will be
+  folded driver-side (``bloom_driver_update_limit``). A huge round
+  never materializes hashes on the driver — the distributed Bloom
+  build reads them executor-side.
+- all driver-side state I/O goes through :mod:`sparkcrawler.fs`
+  (fsspec-shaped), so the loop is object-store-ready; Spark jobs speak
+  to object stores natively.
 
 Stop conditions mirror the reference: cumulative completed pages ≥
 max_pages (cache.py:57-59 ``limit_reached``) or an empty frontier (the
@@ -29,9 +45,6 @@ frontier IS the end).
 from __future__ import annotations
 
 import datetime as dt
-import glob
-import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -39,6 +52,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkcrawler import schemas
+from sparkcrawler.fs import DEFAULT_FS, LocalFS
 from sparkcrawler.functions.urlnorm import canonicalize, host_of
 from sparkcrawler.operators.seen import (
     DistributedBloom,
@@ -78,7 +92,8 @@ class CrawlConfig:
     bloom_update_min_batch: int = 1
     # new-URL batch size at or below which the Bloom delta is folded in
     # driver-side (numpy over the written frontier's url_hash column —
-    # no Spark job); above it, the distributed applyInPandas build runs.
+    # no Spark job); above it, the distributed applyInPandas build runs
+    # AND the driver never reads the hash column at all.
     bloom_driver_update_limit: int = 5_000_000
     # "broadcast": driver-held shard bitmaps shipped to executors
     # (sandbox-scale). "distributed": bitmaps live as a persisted
@@ -97,41 +112,32 @@ class CrawlResult:
     round_stats: list[dict] = field(default_factory=list)
 
 
-def _p(out_dir: str, *parts: str) -> str:
-    return os.path.join(out_dir, *parts)
+def _marker(fs: LocalFS, out_dir: str, name: str) -> str:
+    return fs.join(out_dir, f"_committed_{name}")
 
 
-def _marker(out_dir: str, name: str) -> str:
-    return _p(out_dir, f"_committed_{name}")
+def _commit(fs: LocalFS, out_dir: str, name: str, payload: dict) -> None:
+    fs.write_json_atomic(_marker(fs, out_dir, name), payload)
 
 
-def _commit(out_dir: str, name: str, payload: dict) -> None:
-    tmp = _marker(out_dir, name) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _marker(out_dir, name))
-
-
-def _max_committed_round(out_dir: str) -> int | None:
+def _max_committed_round(fs: LocalFS, out_dir: str) -> int | None:
     """Highest committed round, or None if not even init committed."""
-    if not os.path.exists(_marker(out_dir, "init")):
+    if not fs.exists(_marker(fs, out_dir, "init")):
         return None
     r = -1
-    while os.path.exists(_marker(out_dir, str(r + 1))):
+    while fs.exists(_marker(fs, out_dir, str(r + 1))):
         r += 1
     return r
 
 
-def _committed_dirs(out_dir: str, table: str, up_to: int) -> list[str]:
+def _committed_dirs(fs: LocalFS, out_dir: str, table: str, up_to: int) -> list[str]:
     """Existing round dirs r0..r{up_to} of a state table — an explicit
     list, so a torn, uncommitted r{k} dir from a killed attempt is never
     read (it gets overwritten when round k re-runs)."""
     paths = []
     for i in range(up_to + 1):
-        d = _p(out_dir, table, f"r{i}")
-        if os.path.exists(d):
+        d = fs.join(out_dir, table, f"r{i}")
+        if fs.exists(d):
             paths.append(d)
     return paths
 
@@ -191,17 +197,10 @@ def _frontier0_table(rows: list[dict]):
     )
 
 
-def _write_pa(table, d: str, name: str | None = None) -> None:
-    import pyarrow.parquet as pq
-
-    os.makedirs(d, exist_ok=True)
-    pq.write_table(table, os.path.join(d, name or f"part-{uuid.uuid4().hex}.parquet"))
-
-
 # ------------------------------------------------------------- run events --
 
 
-def _append_run_event(out_dir, run_id, seed_url, max_pages, event) -> None:
+def _append_run_event(fs, out_dir, run_id, seed_url, max_pages, event) -> None:
     """Run-event sink (reference data.py:117-140 start/complete_run).
     One tiny row — written driver-side, not as a Spark job."""
     import pyarrow as pa
@@ -217,27 +216,33 @@ def _append_run_event(out_dir, run_id, seed_url, max_pages, event) -> None:
             ),
         }
     )
-    _write_pa(table, _p(out_dir, "runs"))
+    fs.write_parquet(table, fs.join(out_dir, "runs"))
 
 
 # ------------------------------------------- driver-side per-round metrics --
 
 
-def _round_file_stats(out_dir: str, r: int) -> dict:
+def _round_file_stats(fs: LocalFS, out_dir: str, r: int, hash_limit: int = -1) -> dict:
     """Every counter the round needs, from the just-written parquet —
     per-FILE granularity (one written file == one output partition), no
     Spark job. Feeds the driver's loop decisions, the lineage table, and
     the Bloom delta.
-    """
-    import pyarrow.parquet as pq
 
+    Driver-memory bound: the frontier pass first reads only the
+    ``is_new`` boolean column (per file, 1 bit/row). The ``url_hash``
+    column is read in a second, LAZY pass only when the round's total
+    new-URL count is in (0, hash_limit] — i.e. only when the Bloom
+    delta will actually be folded driver-side. ``new_hashes`` is None
+    otherwise, and a 10^8-new-URLs round never puts hashes in driver
+    memory.
+    """
     stats = {
         "processed": 0, "fetched": 0, "link_occurrences": 0,
         "newly_discovered": 0, "deferred": 0, "hosts_429": set(),
-        "log_files": [], "frontier_files": [], "new_hashes": [],
+        "log_files": [], "frontier_files": [], "new_hashes": None,
     }
-    for f in sorted(glob.glob(_p(out_dir, "crawl_log", f"r{r}", "*.parquet"))):
-        t = pq.read_table(
+    for f in fs.glob(fs.join(out_dir, "crawl_log", f"r{r}", "*.parquet")):
+        t = fs.read_parquet(
             f, columns=["crawl_status", "n_links", "status_code", "host"]
         )
         status = t.column("crawl_status").to_numpy(zero_copy_only=False)
@@ -259,20 +264,27 @@ def _round_file_stats(out_dir: str, r: int) -> dict:
         stats["processed"] += terminal
         stats["fetched"] += fetched
         stats["link_occurrences"] += links
-    for f in sorted(glob.glob(_p(out_dir, "frontier", f"r{r + 1}", "*.parquet"))):
-        t = pq.read_table(f, columns=["is_new", "url_hash"])
+    per_file_new: list[tuple[str, int]] = []
+    for f in fs.glob(fs.join(out_dir, "frontier", f"r{r + 1}", "*.parquet")):
+        t = fs.read_parquet(f, columns=["is_new"])
         is_new = t.column("is_new").to_numpy(zero_copy_only=False)
-        hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
         n_new = int(is_new.sum())
+        per_file_new.append((f, n_new))
         stats["frontier_files"].append({"rows": t.num_rows, "new": n_new})
         stats["newly_discovered"] += n_new
         stats["deferred"] += t.num_rows - n_new
-        if n_new:
-            stats["new_hashes"].append(hashes[is_new])
+    if 0 < stats["newly_discovered"] <= hash_limit:
+        stats["new_hashes"] = []
+        for f, n_new in per_file_new:
+            if n_new:
+                t = fs.read_parquet(f, columns=["is_new", "url_hash"])
+                is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+                hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+                stats["new_hashes"].append(hashes[is_new])
     return stats
 
 
-def _write_lineage_rows(out_dir, run_id, r, stats: dict) -> None:
+def _write_lineage_rows(fs, out_dir, run_id, r, stats: dict) -> None:
     """Per-partition lineage (north rule A6): one row per written file of
     this round's outputs — frontier_in/fetched from the crawl_log files,
     newly_discovered from the next-frontier files (merged by file index).
@@ -309,10 +321,75 @@ def _write_lineage_rows(out_dir, run_id, r, stats: dict) -> None:
             ),
         }
     )
-    _write_pa(table, _p(out_dir, "lineage", f"r{r}"), "part-0.parquet")
+    fs.write_parquet(table, fs.join(out_dir, "lineage", f"r{r}"), "part-0.parquet")
 
 
 # ------------------------------------------------------------------ crawl --
+
+
+def _resume_state(
+    fs: LocalFS, out_dir: str, resume_round: int
+) -> tuple[int, dict[str, int]]:
+    """(visited, backoff_k) for a resume — O(rounds) marker reads.
+
+    Each committed round's marker carries ``processed`` and
+    ``hosts_429`` (a tiny host list), so no committed crawl_log parquet
+    is ever re-opened — at the 10^10 design point the marker path is
+    KBs where a log re-scan would be TBs of driver I/O. Markers written
+    before the ``hosts_429`` field existed fall back to the legacy
+    crawl_log column scan (still driver-side, still no Spark job).
+    """
+    markers = [
+        fs.read_json(_marker(fs, out_dir, str(i)))
+        for i in range(resume_round + 1)
+    ]
+    if all("hosts_429" in mk and "processed" in mk for mk in markers):
+        visited = sum(mk["processed"] for mk in markers)
+        backoff_k: dict[str, int] = {}
+        for mk in markers:
+            for h in mk["hosts_429"]:
+                backoff_k[h] = backoff_k.get(h, 0) + 1
+        return visited, backoff_k
+    # legacy markers (pre-hosts_429): recount from the committed log
+    visited = 0
+    backoff_k = {}
+    for d in _committed_dirs(fs, out_dir, "crawl_log", resume_round):
+        round_429_hosts: set[str] = set()
+        for f in fs.glob(fs.join(d, "*.parquet")):
+            t = fs.read_parquet(f, columns=["crawl_status", "status_code", "host"])
+            status = t.column("crawl_status").to_numpy(zero_copy_only=False)
+            visited += int((status != schemas.FRONTIER).sum())
+            codes = t.column("status_code").to_numpy(zero_copy_only=False)
+            if (codes == 429).any():
+                hosts = t.column("host").to_pylist()
+                round_429_hosts.update(
+                    h for h, c in zip(hosts, codes) if c == 429
+                )
+        for h in round_429_hosts:
+            backoff_k[h] = backoff_k.get(h, 0) + 1
+    return visited, backoff_k
+
+
+def _check_layout(fs: LocalFS, out_dir: str) -> None:
+    """Fail fast on a pre-``is_new`` on-disk layout: the seen table is a
+    view over the frontier snapshots' ``is_new`` column; an out_dir
+    written by an older engine (separate ``seen/`` tree, no ``is_new``)
+    would otherwise die later with an opaque missing-column error — or
+    silently ignore its old seen data."""
+    files = fs.glob(fs.join(out_dir, "frontier", "r0", "*.parquet"))
+    if files and "is_new" not in fs.parquet_column_names(files[0]):
+        raise RuntimeError(
+            f"incompatible on-disk layout at {out_dir}: frontier snapshots "
+            "lack the is_new column (written by a pre-seen-view engine). "
+            "Re-run the crawl into a fresh out_dir; the legacy seen/ tree "
+            "is not readable by this version."
+        )
+    if fs.exists(fs.join(out_dir, "seen")):
+        raise RuntimeError(
+            f"incompatible on-disk layout at {out_dir}: found a legacy "
+            "seen/ directory (this engine derives the seen set from "
+            "frontier is_new rows). Re-run into a fresh out_dir."
+        )
 
 
 def crawl(
@@ -324,6 +401,7 @@ def crawl(
     run_id: str = "run_0",
     config: CrawlConfig | None = None,
     extra_frontier: DataFrame | None = None,
+    fs: LocalFS | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl. All state lives under ``out_dir``.
 
@@ -332,18 +410,23 @@ def crawl(
     tiny by construction (one sitemap tree per seed host), so they merge
     driver-side; seed-vs-sitemap duplicates resolve deterministically by
     (priority, url) — the seed's priority 0.0 wins.
+
+    ``fs`` routes all driver-side state I/O (markers, metrics reads,
+    lineage writes) — local disk by default, object-store backends are
+    drop-in (:mod:`sparkcrawler.fs`).
     """
     cfg = config or CrawlConfig()
+    fs = fs or DEFAULT_FS
     t0 = time.time()
-    os.makedirs(out_dir, exist_ok=True)
+    fs.makedirs(out_dir)
 
     # 429 adaptive backoff (reference main.py:80-84): host -> number of
     # rounds in which it emitted >=1 429; effective crawl_delay is
     # max(delay, BACKOFF_BASE_DELAY) * BACKOFF_FACTOR^(k-1). Rebuilt
-    # from the committed log on resume (bit-identical resumes).
+    # from the commit markers on resume (bit-identical resumes).
     backoff_k: dict[str, int] = {}
 
-    resume_round = _max_committed_round(out_dir)
+    resume_round = _max_committed_round(fs, out_dir)
     if resume_round is None:
         # ---- fresh run: commit the seed snapshot ("init") ----
         rows = _seed_rows(seed_urls)
@@ -358,42 +441,25 @@ def crawl(
                 ):
                     by_hash[d["url_hash"]] = d
             rows = sorted(by_hash.values(), key=lambda r: (r["url_hash"], r["url"]))
-        _write_pa(
-            _frontier0_table(rows), _p(out_dir, "frontier", "r0"), "part-0.parquet"
+        fs.write_parquet(
+            _frontier0_table(rows), fs.join(out_dir, "frontier", "r0"),
+            "part-0.parquet",
         )
         _append_run_event(
-            out_dir, run_id,
+            fs, out_dir, run_id,
             seed_urls[0] if seed_urls else None, cfg.max_pages, "start_run",
         )
-        _commit(out_dir, "init", {"run_id": run_id})
+        _commit(fs, out_dir, "init", {"run_id": run_id})
         next_round = 0
         visited = 0
     else:
+        _check_layout(fs, out_dir)
         next_round = resume_round + 1
-        # count only COMMITTED rounds — a round that died mid-write may
-        # have left an uncommitted crawl_log/r{k} behind (it will be
-        # overwritten when round k re-runs). Driver-side column reads,
-        # no Spark job: terminal rows for `visited`, 429 hosts per
-        # round to rebuild the adaptive-backoff multipliers.
-        import pyarrow.parquet as pq
-
-        visited = 0
-        for d in _committed_dirs(out_dir, "crawl_log", resume_round):
-            round_429_hosts: set[str] = set()
-            for f in glob.glob(os.path.join(d, "*.parquet")):
-                t = pq.read_table(f, columns=["crawl_status", "status_code", "host"])
-                status = t.column("crawl_status").to_numpy(zero_copy_only=False)
-                visited += int((status != schemas.FRONTIER).sum())
-                codes = t.column("status_code").to_numpy(zero_copy_only=False)
-                if (codes == 429).any():
-                    hosts = t.column("host").to_pylist()
-                    round_429_hosts.update(
-                        h for h, c in zip(hosts, codes) if c == 429
-                    )
-            for h in round_429_hosts:
-                backoff_k[h] = backoff_k.get(h, 0) + 1
+        # O(rounds) resume: visited + backoff from the commit markers
+        # alone — no committed crawl_log parquet is re-opened.
+        visited, backoff_k = _resume_state(fs, out_dir, resume_round)
         _append_run_event(
-            out_dir, run_id, seed_urls[0] if seed_urls else None,
+            fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
             cfg.max_pages, "resume_run",
         )
 
@@ -406,37 +472,45 @@ def crawl(
         bloom = DistributedBloom(
             spark, cfg.bloom_shards, cfg.bloom_bits_per_shard
         )
-        dirs = _committed_dirs(out_dir, "frontier", next_round)
+        dirs = _committed_dirs(fs, out_dir, "frontier", next_round)
         if dirs:
             bloom.update_from_df(
                 spark.read.parquet(*dirs).where(F.col("is_new"))
             )
     elif cfg.use_bloom:
-        import pyarrow.parquet as pq
-
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
         files = [
             f
-            for d in _committed_dirs(out_dir, "frontier", next_round)
-            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            for d in _committed_dirs(fs, out_dir, "frontier", next_round)
+            for f in fs.glob(fs.join(d, "*.parquet"))
         ]
-        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        # footer row counts only — no column data read for the decision
+        total = sum(fs.parquet_num_rows(f) for f in files)
         if 0 < total <= cfg.bloom_driver_update_limit:
             import numpy as np
 
             for f in files:
-                t = pq.read_table(f, columns=["is_new", "url_hash"])
+                t = fs.read_parquet(f, columns=["is_new", "url_hash"])
                 is_new = t.column("is_new").to_numpy(zero_copy_only=False)
                 hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
                 bloom.add_hashes(np.asarray(hashes[is_new], dtype=np.int64))
         elif total:
             bloom.update_from_df(
                 spark.read.parquet(
-                    *_committed_dirs(out_dir, "frontier", next_round)
+                    *_committed_dirs(fs, out_dir, "frontier", next_round)
                 ).where(F.col("is_new"))
             )
 
-    trace = bool(os.environ.get("SPARKCRAWLER_TRACE"))
+    # the driver touches url_hash only when a broadcast-mode Bloom will
+    # fold the delta in-process; distributed mode (and no-bloom runs)
+    # never read the hash column driver-side
+    hash_limit = (
+        cfg.bloom_driver_update_limit
+        if (cfg.use_bloom and cfg.bloom_mode != "distributed")
+        else -1
+    )
+
+    trace = bool(__import__("os").environ.get("SPARKCRAWLER_TRACE"))
 
     def _tr(label: str, t_start: float) -> None:
         if trace:
@@ -450,8 +524,8 @@ def crawl(
     # resume) it is unknown → None means "count it once".
     frontier_count: int | None = None
     while r < cfg.max_rounds and visited < cfg.max_pages:
-        frontier_path = _p(out_dir, "frontier", f"r{r}")
-        if not os.path.exists(frontier_path):
+        frontier_path = fs.join(out_dir, "frontier", f"r{r}")
+        if not fs.exists(frontier_path):
             break
         frontier = spark.read.parquet(frontier_path)
         if frontier_count is None:
@@ -520,7 +594,7 @@ def crawl(
         # coalesce to the core count: a union of three branches would
         # otherwise emit 100+ tiny files whose later scans cost a task each
         plan.crawl_log.coalesce(par).write.mode("overwrite").parquet(
-            _p(out_dir, "crawl_log", f"r{r}")
+            fs.join(out_dir, "crawl_log", f"r{r}")
         )
         _tr(f"r{r} crawl_log write", t1)
 
@@ -530,7 +604,7 @@ def crawl(
         # the seen-set delta (no separate seen write — the seen table IS
         # the union of is_new rows across committed frontier snapshots).
         seen_all = spark.read.parquet(
-            *_committed_dirs(out_dir, "frontier", r)
+            *_committed_dirs(fs, out_dir, "frontier", r)
         ).where(F.col("is_new"))
         discovered = discovered_links(plan.extracted)
         seen_uncovered = (
@@ -548,20 +622,20 @@ def crawl(
         )
         t2 = time.time()
         next_frontier.coalesce(par).write.mode("overwrite").parquet(
-            _p(out_dir, "frontier", f"r{r + 1}")
+            fs.join(out_dir, "frontier", f"r{r + 1}")
         )
         _tr(f"r{r} frontier write", t2)
 
         # ---- driver-side: metrics, lineage, bloom delta (no Spark jobs) ----
         t3 = time.time()
-        m = _round_file_stats(out_dir, r)
+        m = _round_file_stats(fs, out_dir, r, hash_limit=hash_limit)
         processed = m["processed"]
         n_new = m["newly_discovered"]
         n_deferred = m["deferred"]
         for h in m["hosts_429"]:
             backoff_k[h] = backoff_k.get(h, 0) + 1
         if cfg.lineage:
-            _write_lineage_rows(out_dir, run_id, r, m)
+            _write_lineage_rows(fs, out_dir, run_id, r, m)
 
         if bloom is not None and n_new >= cfg.bloom_update_min_batch:
             # fold in EVERY round not yet covered — this round's delta
@@ -569,18 +643,20 @@ def crawl(
             # threshold (otherwise bloom_covered would overclaim and
             # skipped-round URLs could be re-admitted as definite-new).
             uncovered_dirs = [
-                _p(out_dir, "frontier", f"r{i}")
+                fs.join(out_dir, "frontier", f"r{i}")
                 for i in range(bloom_covered + 1, r + 2)
-                if os.path.exists(_p(out_dir, "frontier", f"r{i}"))
+                if fs.exists(fs.join(out_dir, "frontier", f"r{i}"))
             ]
             if isinstance(bloom, DistributedBloom):
                 bloom.update_from_df(
                     spark.read.parquet(*uncovered_dirs).where(F.col("is_new")),
                     n_rows=None if bloom_covered < r else n_new,
                 )
-            elif n_new <= cfg.bloom_driver_update_limit and bloom_covered == r:
+            elif (
+                m["new_hashes"] is not None and bloom_covered == r
+            ):
                 # common case: nothing skipped — fold this round's delta
-                # from the already-read url_hash column (no Spark job)
+                # from the lazily-read url_hash arrays (no Spark job)
                 import numpy as np
 
                 for arr in m["new_hashes"]:
@@ -589,23 +665,27 @@ def crawl(
                 # skipped rounds to catch up on, still small: fold all
                 # uncovered deltas driver-side from the written files
                 import numpy as np
-                import pyarrow.parquet as pq
 
                 for d in uncovered_dirs:
-                    for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-                        t = pq.read_table(f, columns=["is_new", "url_hash"])
+                    for f in fs.glob(fs.join(d, "*.parquet")):
+                        t = fs.read_parquet(f, columns=["is_new", "url_hash"])
                         is_new = t.column("is_new").to_numpy(zero_copy_only=False)
                         hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
                         bloom.add_hashes(np.asarray(hashes[is_new], dtype=np.int64))
             else:
-                # huge delta → distributed build over the written files
+                # huge delta → distributed build over the written files;
+                # the driver never saw the hash column (new_hashes=None)
                 bloom.update_from_df(
                     spark.read.parquet(*uncovered_dirs).where(F.col("is_new"))
                 )
             bloom_covered = r + 1
         _tr(f"r{r} driver metrics+lineage+bloom", t3)
 
-        _commit(out_dir, str(r), {"processed": processed, "new": n_new})
+        _commit(
+            fs, out_dir, str(r),
+            {"processed": processed, "new": n_new,
+             "hosts_429": sorted(m["hosts_429"])},
+        )
         visited += processed
         stats.append(
             {"round": r, "frontier_in": frontier_count, "processed": processed,
@@ -619,7 +699,7 @@ def crawl(
         r += 1
 
     _append_run_event(
-        out_dir, run_id, seed_urls[0] if seed_urls else None,
+        fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
         cfg.max_pages, "complete_run",
     )
     return CrawlResult(
@@ -641,7 +721,7 @@ def _read_tree(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_crawl_log(spark: SparkSession, out_dir: str) -> DataFrame:
-    return _read_tree(spark, _p(out_dir, "crawl_log"))
+    return _read_tree(spark, f"{out_dir}/crawl_log")
 
 
 def read_seen(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -649,7 +729,7 @@ def read_seen(spark: SparkSession, out_dir: str) -> DataFrame:
     committed frontier snapshots' ``is_new`` rows; nothing is stored
     twice. The reference's Redis SADD set (cache.py:91-97) analog."""
     return (
-        _read_tree(spark, _p(out_dir, "frontier"))
+        _read_tree(spark, f"{out_dir}/frontier")
         .where(F.col("is_new"))
         .select(
             "url_hash", "url", F.col("round").cast("int").alias("round_added")
@@ -658,11 +738,11 @@ def read_seen(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    return _read_tree(spark, _p(out_dir, "lineage"))
+    return _read_tree(spark, f"{out_dir}/lineage")
 
 
 def read_runs(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_p(out_dir, "runs"))
+    return spark.read.parquet(f"{out_dir}/runs")
 
 
 def read_crawl_pages(
