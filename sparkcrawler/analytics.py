@@ -361,12 +361,14 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # --------------------------------------------------------------------------
 
 
+def _words_of(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+
 def _words(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-    )
+    return _words_of(_t(spark, sf_dir, "documents"))
 
 
 def docs_dedup_exact(spark, sf_dir):
@@ -404,24 +406,36 @@ _MH_B = [(12345 + 7919 * i) % _MH_MOD for i in range(_MINHASH_K)]
 _MH_HM_SQL = (
     "('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647"
 )
-_MH_WORDS_SQL = (
-    "SELECT doc_id, " + _MH_HM_SQL + " AS hm FROM "
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
-    "WHERE w <> ''"
-)
-_MH_SIG_SQL = (
-    "SELECT doc_id, "
-    + ", ".join(
-        f"min((hm * {a} + {b}) % {_MH_MOD}) AS g{i}"
-        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+
+
+def _mh_words_sql(src: str = "documents") -> str:
+    """Word→hash rows; ``src`` is any (doc_id, text) relation name."""
+    return (
+        "SELECT doc_id, " + _MH_HM_SQL + " AS hm FROM "
+        f"(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}) "
+        "WHERE w <> ''"
     )
-    + f" FROM ({_MH_WORDS_SQL}) GROUP BY doc_id"
-)
 
 
-def _minhash_sig(spark, sf_dir):
-    """The shared k=64 signature table (doc_id, g0..g63)."""
-    words = _words(spark, sf_dir)
+def _mh_sig_sql(src: str = "documents") -> str:
+    return (
+        "SELECT doc_id, "
+        + ", ".join(
+            f"min((hm * {a} + {b}) % {_MH_MOD}) AS g{i}"
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        )
+        + f" FROM ({_mh_words_sql(src)}) GROUP BY doc_id"
+    )
+
+
+_MH_WORDS_SQL = _mh_words_sql()
+_MH_SIG_SQL = _mh_sig_sql()
+
+
+def _minhash_sig_of(docs: DataFrame) -> DataFrame:
+    """The shared k=64 signature table (doc_id, g0..g63) over any
+    (doc_id, text) DataFrame."""
+    words = _words_of(docs)
     hm = (
         F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
         .cast("long") % _MH_MOD
@@ -432,6 +446,10 @@ def _minhash_sig(spark, sf_dir):
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     return words.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig(spark, sf_dir):
+    return _minhash_sig_of(_t(spark, sf_dir, "documents"))
 
 
 def _band_cols():
@@ -467,20 +485,28 @@ FROM sig ORDER BY doc_id
 """
 
 
-def _lsh_membership(spark, sf_dir):
+def _lsh_membership_of(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_key) — each doc lands in 16 LSH buckets."""
-    sig = _minhash_sig(spark, sf_dir)
+    sig = _minhash_sig_of(docs)
     return sig.select(
         "doc_id", F.posexplode(F.array(*_band_cols())).alias("band_id", "band_key")
     ).select("doc_id", (F.col("band_id") + 1).cast("int").alias("band_id"), "band_key")
 
 
-_LSH_MEMBER_SQL = (
-    f"SELECT doc_id, CAST(generate_subscripts(bands, 1) AS INTEGER) AS band_id, "
-    f"unnest(bands) AS band_key FROM ("
-    f"SELECT doc_id, [{', '.join(_band_sql(j) for j in range(_MINHASH_BANDS))}] "
-    f"AS bands FROM ({_MH_SIG_SQL}))"
-)
+def _lsh_membership(spark, sf_dir):
+    return _lsh_membership_of(_t(spark, sf_dir, "documents"))
+
+
+def _lsh_member_sql(src: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, CAST(generate_subscripts(bands, 1) AS INTEGER) AS band_id, "
+        f"unnest(bands) AS band_key FROM ("
+        f"SELECT doc_id, [{', '.join(_band_sql(j) for j in range(_MINHASH_BANDS))}] "
+        f"AS bands FROM ({_mh_sig_sql(src)}))"
+    )
+
+
+_LSH_MEMBER_SQL = _lsh_member_sql()
 
 
 def docs_lsh_buckets(spark, sf_dir):
@@ -507,11 +533,12 @@ ORDER BY band_id, band_key
 """
 
 
-def docs_jaccard_pairs(spark, sf_dir):
-    """Exact word-set Jaccard VERIFY step over candidates generated by
-    the LSH buckets (co-bucketed in ≥1 band) — the scale-safe shape: the
-    word self-join touches only candidate pairs, never all pairs."""
-    member = _lsh_membership(spark, sf_dir)
+def _jaccard_pairs_of(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold) over
+    any (doc_id, text) DataFrame. Candidates come from the LSH buckets
+    (co-bucketed in ≥1 band) — the word self-join touches only
+    candidate pairs, never all pairs."""
+    member = _lsh_membership_of(docs)
     a = member.alias("a")
     b = member.alias("b")
     pairs = (
@@ -526,7 +553,7 @@ def docs_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    w = _words(spark, sf_dir).dropDuplicates(["doc_id", "w"])
+    w = _words_of(docs).dropDuplicates(["doc_id", "w"])
     counts = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wa = w.select(F.col("doc_id").alias("id_a"), "w")
     wb = w.select(F.col("doc_id").alias("_idb"), F.col("w").alias("w2"))
@@ -547,14 +574,26 @@ def docs_jaccard_pairs(spark, sf_dir):
                 F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")), 4
             ),
         )
-        .where(F.col("jaccard") >= 0.6)
+        .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
-JACCARD_SQL = f"""
-WITH member AS ({_LSH_MEMBER_SQL}),
+def docs_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard VERIFY step over LSH-bucket candidates —
+    the scale-safe shape (see :func:`_jaccard_pairs_of`)."""
+    return _jaccard_pairs_of(_t(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _jaccard_sql(
+    src: str = "documents", threshold: float = 0.6, order: bool = True
+) -> str:
+    """The verify-step SQL over any (doc_id, text) relation — shares its
+    member/words fragments with the Spark plan builders above."""
+    return f"""
+WITH member AS ({_lsh_member_sql(src)}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM member a JOIN member b
@@ -563,7 +602,7 @@ pairs AS (
 ),
 w AS (
   SELECT DISTINCT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}
   ) WHERE w <> ''
 ),
 c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
@@ -579,8 +618,135 @@ SELECT id_a, id_b,
 FROM inter
 JOIN c ca ON ca.doc_id = id_a
 JOIN c cb ON cb.doc_id = id_b
-WHERE round(ninter * 1.0 / (ca.n + cb.n - ninter), 4) >= 0.6
-ORDER BY id_a, id_b
+WHERE round(ninter * 1.0 / (ca.n + cb.n - ninter), 4) >= {threshold}
+{"ORDER BY id_a, id_b" if order else ""}
+"""
+
+
+JACCARD_SQL = _jaccard_sql()
+
+
+# ---- near-dup cluster resolution (pairs → components → kept docs) --------
+
+# Clustering threshold: 0.9 keeps genuinely-perturbed copies together
+# without the template-vocabulary halo that 0.6 merges into one giant
+# component on the synthetic corpus.
+_CLUSTER_JACCARD = 0.9
+
+
+def _cluster_sql_ctes(src: str = "documents", thr: float = _CLUSTER_JACCARD) -> str:
+    """Recursive-CTE fragments computing min-reachable-id components
+    over the verified pairs — the DuckDB twin of
+    :func:`sparkcrawler.operators.dedup.dedup_clusters`."""
+    return f"""
+pairs AS ({_jaccard_sql(src, thr, order=False)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS rid FROM nodes
+  UNION
+  SELECT r.doc_id, e.dst AS rid FROM reach r JOIN edges e ON e.src = r.rid
+),
+cl AS (SELECT doc_id, min(rid) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+def docs_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: verified pairs (jaccard ≥ 0.9) →
+    connected components by min-label propagation
+    (operators/dedup.py) — cluster_id = min reachable doc_id, the
+    deterministic cross-engine contract. The reference analog is
+    first-writer-wins SADD (reference cache.py:91-97) at the near-dup
+    level."""
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    pairs = _jaccard_pairs_of(
+        _t(spark, sf_dir, "documents"), _CLUSTER_JACCARD
+    )
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_cluster_sql_ctes()}
+SELECT doc_id, cluster_id FROM cl ORDER BY doc_id
+"""
+
+
+def docs_dedup_keep(spark, sf_dir):
+    """One kept doc per near-dup cluster; unpaired docs keep themselves
+    as singleton clusters — the final keep-list a training-data dedup
+    emits."""
+    from sparkcrawler.operators.dedup import dedup_clusters, keep_per_cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_of(docs, _CLUSTER_JACCARD)
+    clusters = dedup_clusters(pairs)
+    return keep_per_cluster(docs, clusters).orderBy("cluster_id")
+
+
+DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE {_cluster_sql_ctes()},
+lab AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT cluster_id, min(doc_id) AS keep_doc_id, count(*) AS cluster_size
+FROM lab GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+def docs_dedup_pipeline(spark, sf_dir):
+    """The dedup stages composed END-TO-END in one plan: exact dedup
+    (md5 groupBy, min doc_id wins) → MinHash/LSH candidates → Jaccard
+    verify (≥0.9) over the exact representatives only → cluster
+    resolution → one kept doc per cluster. Output: one row per final
+    cluster with ``n_docs`` = how many ORIGINAL documents (including
+    exact copies) it absorbs — so every stage's effect is visible in
+    the result."""
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    reps = docs.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("_th")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("text").alias("text"),
+    )
+    pairs = _jaccard_pairs_of(
+        reps.select("doc_id", "text"), _CLUSTER_JACCARD
+    )
+    clusters = dedup_clusters(pairs)
+    labeled = reps.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_copies").alias("n_docs"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_PIPELINE_SQL = f"""
+WITH RECURSIVE reps AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies, min(text) AS text
+  FROM documents GROUP BY md5(text)
+),
+{_cluster_sql_ctes("reps")},
+lab AS (
+  SELECT reps.doc_id, reps.n_copies,
+         coalesce(cl.cluster_id, reps.doc_id) AS cluster_id
+  FROM reps LEFT JOIN cl ON reps.doc_id = cl.doc_id
+)
+SELECT cluster_id, min(doc_id) AS keep_doc_id, count(*) AS cluster_size,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs
+FROM lab GROUP BY cluster_id ORDER BY cluster_id
 """
 
 _HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
@@ -1250,6 +1416,9 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_minhash": QuerySpec(docs_minhash, MINHASH_SQL),
     "docs_lsh_buckets": QuerySpec(docs_lsh_buckets, LSH_SQL),
     "docs_jaccard_pairs": QuerySpec(docs_jaccard_pairs, JACCARD_SQL),
+    "docs_dedup_clusters": QuerySpec(docs_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "docs_dedup_keep": QuerySpec(docs_dedup_keep, DEDUP_KEEP_SQL),
+    "docs_dedup_pipeline": QuerySpec(docs_dedup_pipeline, DEDUP_PIPELINE_SQL),
     "docs_simhash": QuerySpec(docs_simhash, SIMHASH_SQL),
     "docs_token_stats": QuerySpec(docs_token_stats, TOKENS_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),

@@ -1,0 +1,75 @@
+"""Unit tests for near-dup cluster resolution (operators/dedup.py):
+min-label propagation must equal exact connected components (computed
+by a pure-Python union-find oracle) on adversarial graph shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _clusters(spark, pairs):
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # long chain: worst case for propagation (diameter = n)
+        [(i, i + 1) for i in range(12)],
+        # two components + a triangle + an isolated pair
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        # star: hub with min id
+        [(0, i) for i in range(1, 9)],
+        # star: hub with MAX id (label must flow against edge direction)
+        [(100, i) for i in range(1, 9)],
+        # duplicate + self-ish pairs in both orders
+        [(5, 6), (6, 5), (5, 6), (7, 8)],
+    ],
+)
+def test_clusters_match_union_find(spark, pairs):
+    got = _clusters(spark, pairs)
+    want = _uf_components(pairs)
+    assert got == want
+
+
+def test_empty_pairs(spark):
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(df).collect() == []
+
+
+def test_keep_per_cluster_includes_singletons(spark):
+    from sparkcrawler.operators.dedup import dedup_clusters, keep_per_cluster
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9)], "doc_id long"
+    )
+    out = {
+        r["cluster_id"]: (r["keep_doc_id"], r["cluster_size"])
+        for r in keep_per_cluster(docs, dedup_clusters(pairs)).collect()
+    }
+    assert out == {1: (1, 3), 9: (9, 1)}
