@@ -749,34 +749,57 @@ SELECT cluster_id, min(doc_id) AS keep_doc_id, count(*) AS cluster_size,
 FROM lab GROUP BY cluster_id ORDER BY cluster_id
 """
 
-_HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
-
-
 def docs_simhash(spark, sf_dir):
-    """8-bit SimHash: per word, bit i = high bit of the i-th md5 nibble;
-    per doc, fingerprint bit = sign of the weighted bit sum."""
+    """64-bit SimHash (a corpus-scale fingerprint — 8 bits collide
+    constantly at 10^10 docs). Per word, bit i = bit (i mod 4) of md5
+    hex nibble i//4 (integer-exact on both engines); per doc,
+    fingerprint bit i = sign of the ±1 sum over words. Emitted as two
+    32-bit halves in BIGINT columns (``simhash_hi``/``simhash_lo``) so
+    no signed-64 overflow semantics are in play cross-engine."""
     words = _words(spark, sf_dir).withColumn(
         "h", F.md5(F.col("w").cast("binary"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring("h", i + 1, 1).isin(_HEX_HIGH), F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{i}")
-        for i in range(8)
-    ]
+    bit_sums = []
+    for i in range(64):
+        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
+        bit_set = nib.bitwiseAND(F.lit(1 << (i % 4))) > 0
+        bit_sums.append(
+            F.sum(F.when(bit_set, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{i}")
+        )
     per_doc = words.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for i in range(8):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+
+    def _half(lo: int) -> F.Column:
+        e = None
+        for i in range(lo, lo + 32):
+            term = F.when(
+                F.col(f"s{i}") > 0, F.lit(1 << (i - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            e = term if e is None else e + term
+        return e
+
     return per_doc.select(
-        "doc_id", fp.cast("long").alias("simhash8")
+        "doc_id",
+        _half(0).alias("simhash_lo"),
+        _half(32).alias("simhash_hi"),
     ).orderBy("doc_id")
 
 
-SIMHASH_SQL = """
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        "sum(CASE WHEN (('0x' || substr(h, {p}, 1))::INTEGER & {m}) > 0 "
+        "THEN 1 ELSE -1 END) AS s{i}".format(p=i // 4 + 1, m=1 << (i % 4), i=i)
+        for i in range(64)
+    )
+
+    def half(lo: int) -> str:
+        return " + ".join(
+            "(CASE WHEN s{i} > 0 THEN {v} ELSE 0 END)".format(
+                i=i, v=1 << (i - lo)
+            )
+            for i in range(lo, lo + 32)
+        )
+
+    return f"""
 WITH words AS (
   SELECT doc_id, md5(w) AS h FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -788,19 +811,13 @@ sums AS (
   FROM words GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST({fp} AS BIGINT) AS simhash8
+       CAST({half(0)} AS BIGINT) AS simhash_lo,
+       CAST({half(32)} AS BIGINT) AS simhash_hi
 FROM sums ORDER BY doc_id
-""".format(
-    sums=",\n         ".join(
-        "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
-        "THEN 1 ELSE -1 END) AS s{i}".format(p=i + 1, i=i)
-        for i in range(8)
-    ),
-    fp=" + ".join(
-        "(CASE WHEN s{i} > 0 THEN {v} ELSE 0 END)".format(i=i, v=2 ** i)
-        for i in range(8)
-    ),
-)
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
 
 
 def docs_token_stats(spark, sf_dir):
@@ -1256,9 +1273,37 @@ FROM nation ORDER BY host
 # analytical reads over its committed output byte-for-byte).
 # --------------------------------------------------------------------------
 
-DEMO_DIR = "/tmp/sparkcrawler_demo/v2"
+def _demo_version() -> str:
+    """Cache key for the demo-crawl parquet: a content hash of every
+    crawl-relevant source module plus the demo parameters. A logic
+    change in any of these modules changes the key, so the crawl
+    re-runs and a stale cache can never satisfy the oracles (a
+    hand-bumped version constant could silently be forgotten)."""
+    import hashlib
+
+    import sparkcrawler.functions.extract as _ex
+    import sparkcrawler.functions.urlnorm as _un
+    import sparkcrawler.operators.politeness as _pol
+    import sparkcrawler.operators.robots as _rob
+    import sparkcrawler.operators.seen as _seen
+    import sparkcrawler.plans.crawl as _c
+    import sparkcrawler.plans.round as _r
+    import sparkcrawler.schemas as _sch
+    import sparkcrawler.sources.synth as _s
+
+    h = hashlib.md5()
+    for mod in (_c, _r, _s, _pol, _rob, _seen, _ex, _un, _sch):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    h.update(b"demo:pages=150,hosts=5,max_pages=60,seed=h0p0")
+    return h.hexdigest()[:10]
+
+
+_DEMO_ROOT = "/tmp/sparkcrawler_demo"
+DEMO_DIR = f"{_DEMO_ROOT}/crawl_{_demo_version()}"
 _DEMO_CRAWL = f"{DEMO_DIR}/crawl"
 _DEMO_CORPUS = f"{DEMO_DIR}/corpus"
+_OUTDEG_DIR = f"{_DEMO_ROOT}/outdeg_{_demo_version()}"
 
 
 def _demo_crawl_dir(spark) -> str:
@@ -1374,12 +1419,68 @@ ORDER BY l.url
 """
 
 
+def _outdegree_expected_dir() -> str:
+    """Materialize the EXPECTED out-degree histogram, computed entirely
+    by the pure-Python extractor (``extract_links_py`` — the same code
+    the crawl oracle trusts) over the local corpus generator — so the
+    DuckDB oracle reads a result the Spark UDF never touched. Atomic
+    build (tmp dir + rename), content-hash versioned like the demo
+    crawl."""
+    import os
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    ready = os.path.join(_OUTDEG_DIR, "_READY")
+    if not os.path.exists(ready):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sparkcrawler.functions.extract import extract_links_py
+        from sparkcrawler.sources.synth import synth_pages_local
+
+        _, rows = synth_pages_local(150, 5, with_sitemaps=False)
+        hist: dict[int, int] = {}
+        for r in rows:
+            host = urlparse(r["url"]).hostname
+            deg = sum(
+                1
+                for link in extract_links_py(r["url"], r["html"])
+                if urlparse(link).hostname == host
+            )
+            hist[deg] = hist.get(deg, 0) + 1
+        tmp = tempfile.mkdtemp(prefix="sc_outdeg_build_")
+        pq.write_table(
+            pa.table(
+                {
+                    "degree": pa.array(sorted(hist), pa.int32()),
+                    "n_pages": pa.array(
+                        [hist[d] for d in sorted(hist)], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(tmp, "part-0.parquet"),
+        )
+        with open(os.path.join(tmp, "_READY"), "w") as fh:
+            fh.write("ok")
+        os.makedirs(_DEMO_ROOT, exist_ok=True)
+        try:
+            os.rename(tmp, _OUTDEG_DIR)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
+    return _OUTDEG_DIR
+
+
 def pages_outdegree_hist(spark, sf_dir):
     """Link-extraction UDF exercised standalone: out-degree histogram
-    of the synthetic corpus (same-host links only)."""
+    of the synthetic corpus (same-host links only). The oracle is the
+    pure-Python extractor's histogram (:func:`_outdegree_expected_dir`)
+    — a genuine differential check of the Arrow UDF against the
+    reference-parity extractor."""
     from sparkcrawler.functions.extract import extract_links_udf
     from sparkcrawler.sources.synth import synth_pages_df
 
+    _outdegree_expected_dir()
     _, pages = synth_pages_df(spark, 150, 5, with_sitemaps=False)
     deg = pages.select(
         F.size(
@@ -1395,6 +1496,13 @@ def pages_outdegree_hist(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .orderBy("degree")
     )
+
+
+OUTDEG_SQL = f"""
+SELECT degree, n_pages
+FROM read_parquet('{_OUTDEG_DIR}/part-0.parquet')
+ORDER BY degree
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1434,8 +1542,9 @@ CATALOG: dict[str, QuerySpec] = {
     "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, VISITS_SQL),
     "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, LINEAGE_SQL),
     "crawl_pages_text": QuerySpec(crawl_pages_text, PAGES_TEXT_SQL),
-    # link extraction is the engine's own HTML-parsing UDF — no SQL analog
-    "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, None),
+    # link extraction differential: Spark Arrow-UDF histogram vs the
+    # pure-Python extractor's histogram materialized to parquet
+    "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, OUTDEG_SQL),
 }
 
 
