@@ -943,35 +943,65 @@ LIMIT 10
 """
 
 
+def _ann_index_dir(spark, sf_dir) -> str:
+    """Build (once) the materialized, bucket-PARTITIONED ANN index for
+    this corpus under a content-hash-keyed demo path — the one-off
+    indexing job of operators/ann.py. Atomic (tmp dir + rename)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import sparkcrawler.operators.ann as _ann
+
+    with open(_ann.__file__, "rb") as fh:
+        ver = hashlib.md5(fh.read() + sf_dir.encode()).hexdigest()[:10]
+    root = f"{_DEMO_ROOT}/annidx_{ver}"
+    if not os.path.exists(os.path.join(root, "_READY")):
+        emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") > 0)
+        tmp = tempfile.mkdtemp(prefix="sc_annidx_build_")
+        _ann.build_ann_index(emb, os.path.join(tmp, "idx"))
+        with open(os.path.join(tmp, "_READY"), "w") as fh:
+            fh.write("ok")
+        os.makedirs(_DEMO_ROOT, exist_ok=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
+    return os.path.join(root, "idx")
+
+
 def ann_lsh_topk(spark, sf_dir):
-    """Bucketed ANN: random-hyperplane LSH (8 integer-exact planes,
-    sparkcrawler.operators.ann) assigns every vector a bucket; the
-    query (vec_id=0) probes its own bucket plus Hamming≤1 neighbors and
-    exact cosine re-ranks only those candidates — no crossJoin re-rank
-    over all vectors. The materialized, partition-pruned variant of the
-    same index lives in operators/ann.py (build_ann_index/ann_search)."""
-    from sparkcrawler.operators.ann import with_bucket
+    """Bucketed ANN through the MATERIALIZED index: the embedding table
+    is written once PARTITIONED BY its 8-plane integer-exact
+    hyperplane-LSH bucket (operators/ann.py build_ann_index); the query
+    (vec_id=0) probes its own bucket plus Hamming≤1 neighbors via
+    ``ann_candidates`` — a partition-pruned scan (PartitionFilters on
+    ``bucket``, asserted in test_ann.py) — and exact cosine re-ranks
+    only those candidates. The DuckDB oracle recomputes the same
+    buckets inline (ANN_LSH_SQL), so the index contents themselves are
+    hash-verified against an engine that never saw the index."""
+    from sparkcrawler.operators.ann import ann_candidates
 
     emb = _t(spark, sf_dir, "embeddings")
-    b = with_bucket(emb)
-    qb = b.where(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket"), _dbl("embedding").alias("q")
-    )
-    cand = b.where(F.col("vec_id") > 0).select(
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    idx = _ann_index_dir(spark, sf_dir)
+    cand = ann_candidates(spark, idx, qv, hamming=1).select(
         "vec_id", "label", "bucket", _dbl("embedding").alias("e")
     )
+    # cosine entirely in-plan (same left-fold order as the r02-green
+    # inline variant — the query norm is folded Spark-side, not numpy)
+    q = F.array(*[F.lit(v) for v in qv])
     dot = F.aggregate(
-        F.zip_with("e", "q", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        F.zip_with("e", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
-    )
+    norm_e = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    norm_q = F.sqrt(F.aggregate(q, F.lit(0.0), lambda a, x: a + x * x))
     return (
-        cand.join(
-            F.broadcast(qb),
-            F.bit_count(F.expr("bucket ^ qbucket")) <= 1,
-        )
-        .withColumn("cos", F.round(dot / (norm("e") * norm("q")), 4))
+        cand.withColumn("cos", F.round(dot / (norm_e * norm_q), 4))
         .select("vec_id", "label", "bucket", "cos")
         .orderBy(F.desc("cos"), "vec_id")
         .limit(10)

@@ -104,6 +104,21 @@ def probe_buckets(qbucket: int, hamming: int = 1) -> list[int]:
     return sorted(out)
 
 
+def ann_candidates(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    hamming: int = 1,
+) -> DataFrame:
+    """The partition-pruned candidate scan of a materialized index: all
+    index columns, restricted to the query's probe buckets. The
+    ``bucket`` IN-filter hits the partition column → the scan reads
+    only |probes| of the 2^n_planes partition directories. Callers
+    re-rank however they like (``ann_search`` is the cosine top-k)."""
+    probes = probe_buckets(bucket_py(query_vec), hamming)
+    return spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
+
+
 def ann_search(
     spark: SparkSession,
     index_path: str,
@@ -113,11 +128,8 @@ def ann_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k cosine within the probe buckets of a materialized index.
-    The ``bucket`` IN-filter hits the partition column → the scan reads
-    only |probes| of the 2^n_planes partition directories."""
-    probes = probe_buckets(bucket_py(query_vec), hamming)
-    idx = spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
+    """Top-k cosine within the probe buckets of a materialized index."""
+    idx = ann_candidates(spark, index_path, query_vec, hamming)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     e = F.col(vec_col).cast("array<double>")
     dot = F.aggregate(

@@ -122,3 +122,15 @@ def test_search_exact_within_probed_buckets(spark, index_dir, emb):
     assert got == want
     cos_vals = [r["cos"] for r in res]
     assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_catalog_ann_query_is_partition_pruned(spark):
+    """The CATALOG ann_lsh_topk goes through the materialized index:
+    its physical plan must show partition pruning on bucket (not a
+    full-candidate BroadcastNestedLoopJoin re-derivation)."""
+    from sparkcrawler.analytics import ann_lsh_topk
+
+    df = ann_lsh_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
