@@ -1227,6 +1227,7 @@ def robots_parse_dim(spark, sf_dir):
                 "\n",
                 F.lit("User-agent: *"),
                 F.lit("Disallow: /private/  # keep out"),
+                F.lit("Allow: /private/open/"),
                 F.concat(F.lit("Disallow: /tmp"), ks, F.lit("/")),
                 F.concat(F.lit("Crawl-delay: "), (1 + key % 5).cast("string")),
                 F.concat(F.lit("Sitemap: https://"), host, F.lit("/sm.xml")),
@@ -1239,6 +1240,7 @@ def robots_parse_dim(spark, sf_dir):
                 F.lit("# comment line"),
                 F.lit("User-Agent: *"),
                 F.concat(F.lit("Disallow: /a"), ks, F.lit("/")),
+                F.lit("Disallow: /*.zip$"),
                 F.lit(""),
                 F.lit("User-agent: googlebot"),
                 F.lit("Disallow: /"),
@@ -1268,6 +1270,11 @@ def robots_parse_dim(spark, sf_dir):
         "host",
         F.size("p.disallow_prefixes").alias("n_disallow"),
         F.concat_ws(",", "p.disallow_prefixes").alias("disallow_csv"),
+        # the full Allow/Disallow match list, longest-pattern-first —
+        # pins the Protego rule compilation (wildcards become regexes)
+        F.size("p.rules").alias("n_rules"),
+        F.get(F.col("p.rules"), 0).getField("regex").alias("rule_1_regex"),
+        F.get(F.col("p.rules"), 0).getField("allow").alias("rule_1_allow"),
         F.col("p.crawl_delay").alias("crawl_delay"),
         F.round("p.request_rate", 4).alias("request_rate"),
         F.get("p.sitemap_urls", 0).alias("sitemap_1"),
@@ -1276,12 +1283,20 @@ def robots_parse_dim(spark, sf_dir):
 
 ROBOTS_PARSE_SQL = """
 SELECT 'nation' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
-       CAST(CASE n_nationkey % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+       CAST(CASE n_nationkey % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
             AS INTEGER) AS n_disallow,
        CASE n_nationkey % 4
             WHEN 0 THEN '/private/,/tmp' || CAST(n_nationkey AS VARCHAR) || '/'
-            WHEN 1 THEN '/a' || CAST(n_nationkey AS VARCHAR) || '/'
+            WHEN 1 THEN '/a' || CAST(n_nationkey AS VARCHAR) || '/,/*.zip$'
             ELSE '' END AS disallow_csv,
+       CAST(CASE n_nationkey % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END
+            AS INTEGER) AS n_rules,
+       CASE n_nationkey % 4
+            WHEN 0 THEN '^/private/open/'
+            WHEN 1 THEN '^/.*\\.zip$'
+            ELSE NULL END AS rule_1_regex,
+       CASE n_nationkey % 4
+            WHEN 0 THEN TRUE WHEN 1 THEN FALSE ELSE NULL END AS rule_1_allow,
        CASE n_nationkey % 4
             WHEN 0 THEN CAST(1 + n_nationkey % 5 AS DOUBLE)
             WHEN 2 THEN 1.5 ELSE NULL END AS crawl_delay,

@@ -159,3 +159,96 @@ def test_parsed_dim_equivalent_to_handbuilt_in_gate(spark):
     finally:
         pages.unpersist()
     assert logs[0] == logs[1]
+
+
+# ------------------------------- Protego rule semantics (Allow/wildcards) --
+
+
+def test_parse_allow_and_longest_match_precedence():
+    body = (
+        b"User-agent: *\n"
+        b"Disallow: /private/\n"
+        b"Allow: /private/open/\n"
+    )
+    p = parse_robots_py(body)
+    assert len(p["rules"]) == 2
+    # longest pattern first
+    assert p["rules"][0] == {"regex": "^/private/open/", "allow": True}
+    from sparkcrawler.operators.robots import can_fetch_py
+
+    assert can_fetch_py(p, "/private/open/x.html") is True
+    assert can_fetch_py(p, "/private/x.html") is False
+    assert can_fetch_py(p, "/public/x.html") is True
+
+
+def test_parse_allow_wins_length_tie():
+    body = b"User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"
+    from sparkcrawler.operators.robots import can_fetch_py
+
+    p = parse_robots_py(body)
+    assert p["rules"][0]["allow"] is True  # allow outranks on equal length
+    assert can_fetch_py(p, "/dir/a") is True
+
+
+def test_parse_wildcard_and_end_anchor():
+    from sparkcrawler.operators.robots import can_fetch_py, rule_regex
+
+    p = parse_robots_py(
+        b"User-agent: *\nDisallow: /*.zip\nDisallow: /tmp*/x\nDisallow: /*.php$\n"
+    )
+    assert can_fetch_py(p, "/a/b.zip") is False        # * spans dirs
+    assert can_fetch_py(p, "/tmp123/x") is False
+    assert can_fetch_py(p, "/index.php") is False
+    assert can_fetch_py(p, "/index.php5") is True      # $ anchors the end
+    assert can_fetch_py(p, "/a/b.txt") is True
+    # regex metacharacters in patterns stay literal
+    assert rule_regex("/a+b?.c") == "^/a\\+b\\?\\.c"
+
+
+def test_parse_empty_allow_ignored():
+    p = parse_robots_py(b"User-agent: *\nAllow:\nDisallow: /x/\n")
+    assert [r["allow"] for r in p["rules"]] == [False]
+
+
+def test_gate_applies_protego_rules_jvm_side(spark):
+    """End-to-end through the BROADCAST dim: Allow exceptions,
+    wildcards, and the $ anchor must gate exactly like can_fetch_py —
+    including the path?query match target."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawler.operators.robots import (
+        apply_robots_gate,
+        can_fetch_py,
+        parse_robots_py,
+        robots_from_corpus,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open/\n"
+        "Disallow: /*.zip\n"
+        "Disallow: /*.php$\n"
+        "Disallow: /search?q=*\n"
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/robots.txt", body.encode())], "url string, html binary"
+    )
+    dim = robots_from_corpus(pages)
+    paths = [
+        "/private/a", "/private/open/a", "/files/x.zip", "/x.php",
+        "/x.php5", "/plain", "/search?q=hi", "/search",
+    ]
+    frontier = spark.createDataFrame(
+        [(f"https://h.example{p}", "h.example") for p in paths]
+        + [("https://nodim.example/private/a", "nodim.example")],
+        "url string, host string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in apply_robots_gate(frontier, dim).collect()
+    }
+    parsed = parse_robots_py(body.encode())
+    for p in paths:
+        assert got[f"https://h.example{p}"] == can_fetch_py(parsed, p), p
+    assert got["https://nodim.example/private/a"] is True  # allow-on-error
