@@ -1192,16 +1192,20 @@ def media_metadata(spark, sf_dir):
 
 MEDIA_SQL = """
 SELECT printf('m%05d', i) AS media_id,
-       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
-       CASE i % 3 WHEN 0 THEN CAST(16 + i % 64 AS INTEGER)
+       CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'wav'
+                  ELSE 'jpeg' END AS format,
+       CASE i % 4 WHEN 0 THEN CAST(16 + i % 64 AS INTEGER)
                   WHEN 1 THEN CAST(32 + i % 16 AS INTEGER)
+                  WHEN 3 THEN CAST(40 + i % 50 AS INTEGER)
                   ELSE NULL END AS width,
-       CASE i % 3 WHEN 0 THEN CAST(9 + i % 32 AS INTEGER)
+       CASE i % 4 WHEN 0 THEN CAST(9 + i % 32 AS INTEGER)
                   WHEN 1 THEN CAST(24 + i % 8 AS INTEGER)
+                  WHEN 3 THEN CAST(30 + i % 20 AS INTEGER)
                   ELSE NULL END AS height,
-       CASE i % 3 WHEN 2 THEN CAST(8000 + 100 * (i % 5) AS INTEGER)
+       CASE i % 4 WHEN 2 THEN CAST(8000 + 100 * (i % 5) AS INTEGER)
                   ELSE NULL END AS sample_rate,
-       CASE i % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 28 END AS byte_len
+       CASE i % 4 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 28
+                  ELSE 44 END AS byte_len
 FROM range(200) t(i) ORDER BY media_id
 """
 

@@ -70,25 +70,60 @@ def sniff_media_py(blob) -> dict:
     elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         out["format"] = "gif"
         out["width"], out["height"] = struct.unpack("<HH", b[6:10])
-    elif b.startswith(b"\xff\xd8\xff"):
+    elif b.startswith(b"\xff\xd8"):
         out["format"] = "jpeg"
-        # walk segments to SOF0/SOF2 (dimensions live there)
+        # Walk segments to a SOF marker (dimensions live there). Real
+        # JPEGs contain 0xFF fill bytes before markers and length-LESS
+        # standalone markers (TEM 0x01, RST0-7 0xD0-0xD7) — both must
+        # be skipped or the walk misaligns and reads garbage lengths.
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
-            marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC2):
-                out["height"], out["width"] = struct.unpack(
-                    ">HH", b[i + 5 : i + 9]
-                )
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
                 break
-            i += 2 + seglen
+            j = i + 1
+            while j < len(b) and b[j] == 0xFF:  # fill bytes
+                j += 1
+            if j >= len(b):
+                break
+            marker = b[j]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                i = j + 1
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if j + 3 > len(b):
+                break
+            seglen = struct.unpack(">H", b[j + 1 : j + 3])[0]
+            if marker in sof:
+                if j + 8 <= len(b):
+                    out["height"], out["width"] = struct.unpack(
+                        ">HH", b[j + 4 : j + 8]
+                    )
+                break
+            if marker == 0xDA:  # SOS: entropy data follows, dims precede
+                break
+            i = j + 1 + seglen
     elif b.startswith(b"BM") and len(b) >= 26:
         out["format"] = "bmp"
         w, h = struct.unpack("<ii", b[18:26])
         out["width"], out["height"] = w, abs(h)
-    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         out["format"] = "wav"
-        out["sample_rate"] = struct.unpack("<I", b[24:28])[0]
+        # locate the 'fmt ' chunk by scanning RIFF chunk headers — it
+        # is usually but NOT always first (LIST/JUNK chunks precede it
+        # in many real files); chunks are word-aligned.
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            csize = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            if cid == b"fmt " and pos + 16 <= len(b):
+                out["sample_rate"] = struct.unpack(
+                    "<I", b[pos + 12 : pos + 16]
+                )[0]
+                break
+            pos += 8 + csize + (csize & 1)
     return out
 
 
@@ -179,17 +214,31 @@ def wav_bytes(sample_rate: int) -> bytes:
     )
 
 
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """A minimal JPEG that exercises the REAL marker walk: APP0, then a
+    fill byte + a standalone TEM marker (no length word) before SOF0 —
+    a naive fixed-stride walk misparses this header."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + b"\xff" + b"\xff\x01" + sof0 + b"\xff\xd9"
+
+
 def synth_media_rows(n: int) -> list[dict]:
     """Deterministic media table: id → format/dimensions are pure
     functions of the index (so an oracle can verify the parse)."""
     rows = []
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             blob = png_bytes(16 + i % 64, 9 + i % 32)
         elif kind == 1:
             blob = gif_bytes(32 + i % 16, 24 + i % 8)
-        else:
+        elif kind == 2:
             blob = wav_bytes(8000 + 100 * (i % 5))
+        else:
+            blob = jpeg_bytes(40 + i % 50, 30 + i % 20)
         rows.append({"media_id": f"m{i:05d}", "blob": blob})
     return rows

@@ -75,8 +75,41 @@ def test_sniff_udf_batched(spark):
         for r in df.select("media_id", sniff_media_udf("blob").alias("m")).collect()
     }
     for i, r in enumerate(rows):
-        want = ["png", "gif", "wav"][i % 3]
+        want = ["png", "gif", "wav", "jpeg"][i % 4]
         assert got[r["media_id"]] == want
+
+
+def test_sniff_jpeg_fill_bytes_and_standalone_markers():
+    """Real JPEGs pad with 0xFF fill bytes and contain length-less
+    standalone markers (TEM, RST0-7); the walk must skip both."""
+    from sparkcrawler.functions.media import jpeg_bytes
+
+    m = sniff_media_py(jpeg_bytes(99, 77))
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 99, 77)
+    # RST marker + multiple fill bytes between segments
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 11, 22
+    ) + b"\x03" + b"\x00" * 9
+    blob = b"\xff\xd8" + app0 + b"\xff\xff\xff\xd3" + sof2
+    m = sniff_media_py(blob)
+    assert (m["width"], m["height"]) == (22, 11)
+    # truncated after a fill byte: no crash, no dims
+    m = sniff_media_py(b"\xff\xd8\xff")
+    assert m["format"] == "jpeg" and m["width"] is None
+
+
+def test_sniff_wav_fmt_not_first_chunk():
+    """WAVs with a JUNK/LIST chunk before 'fmt ' must still parse the
+    sample rate (fixed-offset reads fail on these)."""
+    junk = b"JUNK" + struct.pack("<I", 5) + b"\x00" * 5 + b"\x00"  # odd size → pad byte
+    fmt = b"fmt " + struct.pack("<IHHI", 16, 1, 2, 22050)
+    blob = b"RIFF" + struct.pack("<I", 50) + b"WAVE" + junk + fmt
+    m = sniff_media_py(blob)
+    assert (m["format"], m["sample_rate"]) == ("wav", 22050)
+    # no fmt chunk at all → wav with NULL rate, no crash
+    m = sniff_media_py(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    assert (m["format"], m["sample_rate"]) == ("wav", None)
 
 
 # ------------------------------------------------------ decode pipeline --
