@@ -1,21 +1,31 @@
-"""Custom stateful streaming operator: per-user sessionization with
-``applyInPandasWithState``.
+"""Per-user streaming sessionization — two operators:
 
-The batch twin is ``analytics.events_sessionized`` (lag + gap>30min
-flags). Streaming can't use a lag window — session state must live in
-the state store across micro-batches: per user we keep (last event ts,
-open-session count, event count) and emit one row per user per batch
-with the running totals. Draining the whole input with
-``Trigger.AvailableNow`` and keeping each user's LAST emitted row must
-reproduce the batch sessionization exactly (asserted in tests) —
-provided each user's events arrive in timestamp order across batches,
-which the single-directory parquet source with one file per chunk and
-``maxFilesPerTrigger=1`` guarantees when files are written in ts order.
+1. :func:`sessionize_windows_stream` — the ROBUST, out-of-order-safe
+   form: Spark's ``session_window`` + event-time watermark. Events may
+   arrive in any order across micro-batches (up to the watermark
+   delay); the state store merges/extends windows and append mode
+   emits each session exactly once when the watermark passes its
+   close. This is the production path — the reference's event loop
+   tolerates arbitrary arrival order (reference main.py:51-132), and
+   so does this.
 
-This is the engine's template for custom stateful crawl-side streams
-(e.g. per-host fetch-rate accounting at 10^10 scale): state is keyed,
-partition-local, Arrow-batched, and bounded by a processing-time
-timeout rather than driver memory.
+2. :func:`sessionize_stream` — the custom-stateful TEMPLATE
+   (``applyInPandasWithState``): per user we keep (last event ts,
+   session count, event count) and emit running totals in update mode.
+   It demonstrates keyed, Arrow-batched, partition-local state — the
+   building block for crawl-side streams like per-host fetch-rate
+   accounting at 10^10 scale. NOTE: this template assumes each user's
+   events arrive in timestamp order ACROSS micro-batches (one
+   ts-ordered file per trigger); for out-of-order streams use the
+   session_window operator above, or add reorder-buffering to the
+   state.
+
+Gap-boundary contract: the stateful template and its batch twin
+(``analytics.events_sessionized``) treat a gap of exactly
+``SESSION_GAP_SECONDS`` as the SAME session (``>`` rule);
+``session_window`` starts a new one (merge requires strictly earlier
+than window end). Each operator is verified against its own
+same-semantics batch twin.
 """
 
 from __future__ import annotations
@@ -61,9 +71,14 @@ def _sessionize_group(
     last_ts, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts in pdf["ts"].astype("int64") // 1_000_000_000:
+    # one user's micro-batch may span several Arrow chunks: concatenate
+    # BEFORE sorting so the (ts, event_id) order is global to the batch,
+    # not per-chunk
+    chunks = list(pdfs)
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts in batch["ts"].astype("int64") // 1_000_000_000:
             ts = int(ts)
             if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
                 n_sessions += 1
@@ -112,6 +127,82 @@ def sessionize_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def sessionize_windows_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_session_windows",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark: str = "1 hour",
+):
+    """Out-of-order-safe sessionization: ``session_window`` + event-time
+    watermark, append mode. Events later than ``watermark`` behind the
+    max seen event time are dropped (the documented lateness bound);
+    anything within it lands in the right session regardless of file
+    arrival order — the state store merges overlapping windows across
+    micro-batches. Each finalized session emits exactly once, when the
+    watermark passes its close.
+
+    Flush note: with a finite input (availableNow drain) the watermark
+    ends at ``max(ts) - watermark``, so sessions newer than that are
+    still open at shutdown. Batch-file replays that need every session
+    emitted append a terminal flush event far enough in the future
+    (tests do exactly this); a live stream simply keeps running.
+    """
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_path)
+    )
+    sessions = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize_windows_batch(
+    spark: SparkSession, events_path: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> DataFrame:
+    """Batch twin of :func:`sessionize_windows_stream` — identical
+    ``session_window`` semantics over the same files."""
+    ev = spark.read.parquet(events_path)
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

@@ -73,3 +73,89 @@ def test_stateful_sessionize_matches_batch(spark):
         assert sum(ne for _, ne in got.values()) == n
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_session_windows_out_of_order_files_match_batch(spark):
+    """The session_window + watermark operator must produce the exact
+    batch session set even when files arrive in SHUFFLED ts order —
+    the out-of-order robustness the stateful template lacks."""
+    import datetime as dt
+
+    base = tempfile.mkdtemp(prefix="sc_sess_win_")
+    events_dir = os.path.join(base, "events")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(events_dir)
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy(
+            "ts", "event_id"
+        )
+        rows = ev.collect()
+        n = len(rows)
+        tmin, tmax = rows[0]["ts"], rows[-1]["ts"]
+        span = (tmax - tmin).total_seconds()
+        delay = int(span + 3600)  # nothing is ever later than this bound
+
+        n_chunks = 6
+        chunk = (n + n_chunks - 1) // n_chunks
+        arrival = [3, 0, 5, 1, 4, 2]  # scrambled ts order
+        for pos, k in enumerate(arrival):
+            part = rows[k * chunk : (k + 1) * chunk]
+            if not part:
+                continue
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(base, f"stage{k}"))
+            src = next(
+                f
+                for f in os.listdir(os.path.join(base, f"stage{k}"))
+                if f.endswith(".parquet")
+            )
+            shutil.copy(
+                os.path.join(base, f"stage{k}", src),
+                os.path.join(events_dir, f"chunk-{pos}.parquet"),
+            )
+            time.sleep(0.05)
+        # terminal flush event (sentinel user): pushes the final
+        # watermark past every real session's close so append mode
+        # emits them all during the availableNow drain
+        flush_ts = tmax + dt.timedelta(seconds=delay + 1800 + 7200)
+        sentinel = rows[0].asDict()
+        sentinel.update({"user_id": -1, "ts": flush_ts})
+        spark.createDataFrame([sentinel], ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "stage_flush"))
+        src = next(
+            f
+            for f in os.listdir(os.path.join(base, "stage_flush"))
+            if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(base, "stage_flush", src),
+            os.path.join(events_dir, "zz-flush.parquet"),
+        )
+
+        from sparkcrawler.streaming.sessionize_stream import (
+            sessionize_windows_batch,
+            sessionize_windows_stream,
+        )
+
+        q = sessionize_windows_stream(
+            spark, events_dir, ckpt, out_table="sess_win_t",
+            watermark=f"{delay} seconds",
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("sess_win_t").collect()
+            if r["user_id"] != -1
+        }
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize_windows_batch(spark, events_dir).collect()
+            if r["user_id"] != -1
+        }
+        assert got == want
+        assert sum(t[3] for t in got) == n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
