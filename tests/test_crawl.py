@@ -351,3 +351,53 @@ def test_legacy_layout_fails_fast(spark, corpus):
                   config=CrawlConfig(max_pages=5))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bucketed_corpus_forced_shuffle_crawl(spark, corpus, full_run):
+    """Deep-web fallback (round.py shuffle path): broadcast_frontier_limit=0
+    forces the shuffle fetch join against a url_bucket-PARTITIONED corpus
+    with URL pushdown disabled; the crawl must stay oracle-identical and
+    the fetch scan must be partition-pruned to the frontier's buckets."""
+    from sparkcrawler.plans.crawl import seed_frontier
+    from sparkcrawler.plans.round import build_round
+    from sparkcrawler.oracle import url_hash64
+
+    seed, _, log_full, seen_full, _ = full_run
+    _, _, _, pages, rob = corpus
+    nb = 64
+    bdir = tempfile.mkdtemp(prefix="sc_bucketed_corpus_")
+    try:
+        pages.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(nb))
+        ).write.mode("overwrite").partitionBy("url_bucket").parquet(bdir)
+        bucketed = spark.read.parquet(bdir)
+
+        # plan-shape probe: one round at forced shuffle over the
+        # bucketed corpus → the scan carries PartitionFilters on
+        # url_bucket (only the frontier's buckets are read)
+        fr = seed_frontier(spark, [seed])
+        plan = build_round(
+            bucketed, rob, fr, "probe", 0,
+            frontier_count=1,
+            frontier_buckets=[url_hash64(seed) % nb],
+            broadcast_frontier_limit=0,
+        )
+        pstr = plan.crawl_log._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in pstr and "url_bucket" in pstr, pstr[:2000]
+
+        # end-to-end: full crawl down the shuffle path == broadcast path
+        cfg = CrawlConfig(
+            max_pages=10_000, broadcast_frontier_limit=0,
+            corpus_buckets=nb, fetch_pushdown_limit=0,
+        )
+        out = tempfile.mkdtemp(prefix="sc_shuffle_crawl_")
+        try:
+            crawl(spark, bucketed, rob, [seed], out, config=cfg)
+            log2 = read_crawl_log(spark, out).collect()
+            seen2 = {r["url"] for r in read_seen(spark, out).collect()}
+            assert _log_key(log2) == _log_key(log_full)
+            assert seen2 == seen_full
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+    finally:
+        shutil.rmtree(bdir, ignore_errors=True)
