@@ -144,6 +144,7 @@ def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
             "urls_per_sec": round(res.visited / wall, 1),
             "steady_urls_per_sec": round(heavy_pages / heavy_wall, 1),
             "steady_pages": heavy_pages,
+            "round_stats": res.round_stats,
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

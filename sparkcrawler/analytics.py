@@ -626,6 +626,84 @@ WHERE round(ninter * 1.0 / (ca.n + cb.n - ninter), 4) >= {threshold}
 JACCARD_SQL = _jaccard_sql()
 
 
+def docs_ngram_jaccard(spark, sf_dir):
+    """Character 5-gram Jaccard RE-verification of the word-level
+    near-dup pairs (word-Jaccard ≥ 0.9): a second, character-level
+    similarity feature over the already-verified candidates — the
+    tokenization-robust check a training-data dedup runs on pairs whose
+    word overlap could be an artifact of whitespace splitting. Scale
+    shape: the gram self-join touches verified pairs only (≪ candidate
+    pairs ≪ all pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_of(docs, 0.9).select("id_a", "id_b")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("text") >= 5,
+                    F.expr(
+                        "transform(sequence(1, length(text) - 4),"
+                        " i -> substring(text, i, 5))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("id_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("_idb"), F.col("g").alias("g2"))
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("_idb")) & (F.col("g") == F.col("g2")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    ni = F.coalesce("ninter", F.lit(0))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "ngram_jaccard",
+            F.round(ni / (F.col("na") + F.col("nb") - ni), 4),
+        )
+        .select("id_a", "id_b", "ngram_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH wp AS ({_jaccard_sql("documents", 0.9, order=False)}),
+pairs AS (SELECT id_a, id_b FROM wp),
+g AS (
+  SELECT DISTINCT doc_id, substring(text, gs, 5) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 3, 1))) AS gs
+        FROM documents)
+),
+c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT id_a, id_b, count(*) AS ninter
+  FROM pairs
+  JOIN g ga ON ga.doc_id = id_a
+  JOIN g gb ON gb.doc_id = id_b AND ga.g = gb.g
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(coalesce(ninter, 0) * 1.0 /
+             (ca.n + cb.n - coalesce(ninter, 0)), 4) AS ngram_jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN c ca ON ca.doc_id = p.id_a
+JOIN c cb ON cb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 # ---- near-dup cluster resolution (pairs → components → kept docs) --------
 
 # Clustering threshold: 0.9 keeps genuinely-perturbed copies together
@@ -1008,7 +1086,10 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-def _ann_lsh_sql() -> str:
+def _ann_bucket_ctes() -> str:
+    """DuckDB CTE fragment computing every vector's integer-exact
+    hyperplane-LSH bucket — the inline twin of operators/ann.py
+    ``with_bucket`` (shared by the ANN and embedding-near-dup oracles)."""
     w = (
         "((1103515245 * ({i} * 64 + d + 1) + 12345) % 2147483647 - 1073741823)"
     )
@@ -1018,8 +1099,7 @@ def _ann_lsh_sql() -> str:
     bucket = " + ".join(
         f"(CASE WHEN dot{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
     )
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT vec_id, CAST(floor(val * 10000) AS BIGINT) AS e_int, d
   FROM (SELECT vec_id,
                unnest(CAST(embedding AS DOUBLE[])) AS val,
@@ -1031,7 +1111,11 @@ dots AS (
          {sums}
   FROM ex GROUP BY vec_id
 ),
-b AS (SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM dots),
+b AS (SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM dots)"""
+
+
+ANN_LSH_SQL = f"""
+WITH {_ann_bucket_ctes()},
 q AS (
   SELECT b.bucket AS qbucket, CAST(e.embedding AS DOUBLE[]) AS qv
   FROM b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0
@@ -1045,7 +1129,55 @@ LIMIT 10
 """
 
 
-ANN_LSH_SQL = _ann_lsh_sql()
+def embeddings_neardup_topk(spark, sf_dir):
+    """Embedding-cosine near-dup candidates at scale: pairs are
+    generated ONLY within hyperplane-LSH buckets (the same integer-exact
+    bucketing the ANN index uses — never an all-pairs crossJoin), then
+    exact cosine ranks them; top-20 by similarity. At 10^10 scale this
+    is one shuffle on bucket + a bucket-local self-join; a real dedup
+    run would threshold instead of top-k (the synthetic vectors are
+    random, so a fixed threshold would select nothing at every SF)."""
+    from sparkcrawler.operators.ann import with_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = with_bucket(emb)
+    lhs = b.select(
+        F.col("vec_id").alias("id_a"), "bucket", _dbl("embedding").alias("ea")
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket").alias("_bk"),
+        _dbl("embedding").alias("eb"),
+    )
+    pairs = lhs.join(
+        rhs, (F.col("bucket") == F.col("_bk")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        pairs.withColumn("cos", F.round(dot / (norm("ea") * norm("eb")), 4))
+        .select("id_a", "id_b", "bucket", "cos")
+        .orderBy(F.desc("cos"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH {_ann_bucket_ctes()}
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(ec.embedding AS DOUBLE[])), 4) AS cos
+FROM b a
+JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings ec ON ec.vec_id = c.vec_id
+ORDER BY cos DESC, id_a, id_b
+LIMIT 20
+"""
 
 
 def embeddings_centroids(spark, sf_dir):
@@ -1573,6 +1705,8 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_minhash": QuerySpec(docs_minhash, MINHASH_SQL),
     "docs_lsh_buckets": QuerySpec(docs_lsh_buckets, LSH_SQL),
     "docs_jaccard_pairs": QuerySpec(docs_jaccard_pairs, JACCARD_SQL),
+    "docs_ngram_jaccard": QuerySpec(docs_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "embeddings_neardup_topk": QuerySpec(embeddings_neardup_topk, EMB_NEARDUP_SQL),
     "docs_dedup_clusters": QuerySpec(docs_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "docs_dedup_keep": QuerySpec(docs_dedup_keep, DEDUP_KEEP_SQL),
     "docs_dedup_pipeline": QuerySpec(docs_dedup_pipeline, DEDUP_PIPELINE_SQL),

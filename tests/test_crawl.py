@@ -27,6 +27,15 @@ from sparkcrawler.plans.crawl import (
 )
 
 
+from sparkcrawler.sources.synth import (
+    page_url,
+    robots_df,
+    robots_rows,
+    synth_pages_df,
+    synth_pages_local,
+)
+
+
 class RecordingFS(LocalFS):
     """LocalFS that records every driver-side parquet read (path +
     columns) — the instrument for the driver-memory-bound assertions."""
@@ -37,13 +46,6 @@ class RecordingFS(LocalFS):
     def read_parquet(self, path, columns=None):
         self.reads.append((path, tuple(columns) if columns else None))
         return super().read_parquet(path, columns)
-from sparkcrawler.sources.synth import (
-    page_url,
-    robots_df,
-    robots_rows,
-    synth_pages_df,
-    synth_pages_local,
-)
 
 N_PAGES, N_HOSTS = 200, 6
 
