@@ -175,13 +175,13 @@ same corpus as the table above):
   **{ctl_eff}** on this box. The engine's distributed work scales at
   the machine's own UDF limit (ratio
   {round(compute_eff / ctl_eff, 2) if ctl_eff else 'n/a'}).
-- **Fixed driver latency** (plan build + driver-side metrics/commit:
-  {round(fixed_2, 1)}s vs {round(fixed_8, 1)}s — constant in core
-  count, as designed) is what dilutes the composite number at this
-  corpus size: ~{round(fixed_8 / max(s8['steady_total'], 0.01) * 100)}%
-  of steady wall at 8 cores but amortized over ~10^7 pages/round on a
-  real cluster (vs ~10^4 here), where it vanishes below the metric's
-  resolution.
+- **Non-scaling driver latency** (plan build + driver-side
+  metrics/commit: {round(fixed_2, 1)}s vs {round(fixed_8, 1)}s — it
+  does not shrink with cores) is what dilutes the composite number at
+  this corpus size:
+  ~{round(fixed_8 / max(s8['steady_total'], 0.01) * 100)}% of steady
+  wall at 8 cores, but amortized over ~10^7 pages/round on a real
+  cluster (vs ~10^4 here) it vanishes below the metric's resolution.
 
 Reproduce: `python BENCH/run_breakdown.py` (after run_scaling.py).
 {MARK_END}
