@@ -161,14 +161,21 @@ HEADLINE = [
     "docs_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "embeddings_neardup_topk",
     "embeddings_centroids",
 ]
 
 
 def bench_queries(spark, sf_dir: str) -> dict:
-    from sparkcrawler.analytics import CATALOG
+    from sparkcrawler.analytics import CATALOG, _ann_index_dir
 
     timings = {}
+    # the ANN index build is the one-off INDEXING job (the catalog query
+    # then runs partition-pruned searches against it); time it as its
+    # own line so the query number measures the search, not the build
+    t0 = time.time()
+    _ann_index_dir(spark, sf_dir)
+    timings["ann_index_build"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         t0 = time.time()
         rows = CATALOG[name].spark(spark, sf_dir).collect()

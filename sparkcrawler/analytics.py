@@ -533,12 +533,34 @@ ORDER BY band_id, band_key
 """
 
 
-def _jaccard_pairs_of(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+def _jaccard_pairs_of(
+    docs: DataFrame, threshold: float = 0.6,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold) over
     any (doc_id, text) DataFrame. Candidates come from the LSH buckets
     (co-bucketed in ≥1 band) — the word self-join touches only
-    candidate pairs, never all pairs."""
+    candidate pairs, never all pairs.
+
+    ``max_bucket`` (off by default, so the oracle contract is
+    unchanged): skip LSH buckets holding more than this many docs
+    before pairing. At corpus scale a template/boilerplate cluster
+    makes some buckets near-complete graphs — candidate pairs grow
+    quadratically in the bucket size (the synthetic corpus reproduces
+    this: one ~2300-doc component at sf0.1 → 7M verified pairs). A
+    production dedup caps hot buckets and routes their docs to exact
+    dedup on a boilerplate-stripped key instead; the cap is one
+    groupBy(count) + semi-join, shuffle-free beyond what banding
+    already pays."""
     member = _lsh_membership_of(docs)
+    if max_bucket is not None:
+        small = (
+            member.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        member = member.join(small, ["band_id", "band_key"], "left_semi")
     a = member.alias("a")
     b = member.alias("b")
     pairs = (

@@ -73,3 +73,22 @@ def test_keep_per_cluster_includes_singletons(spark):
         for r in keep_per_cluster(docs, dedup_clusters(pairs)).collect()
     }
     assert out == {1: (1, 3), 9: (9, 1)}
+
+
+def test_jaccard_hot_bucket_cap(spark):
+    """max_bucket skips oversized LSH buckets before pairing: capped
+    pairs are a subset of uncapped, a huge cap is a no-op, and the cap
+    actually bites on the synthetic near-complete component."""
+    from sparkcrawler.analytics import _jaccard_pairs_of
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    key = lambda df: {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    uncapped = key(_jaccard_pairs_of(docs, 0.9))
+    capped = key(_jaccard_pairs_of(docs, 0.9, max_bucket=10))
+    nocap = key(_jaccard_pairs_of(docs, 0.9, max_bucket=10**6))
+    assert capped < uncapped  # strict subset: the cap bites
+    assert nocap == uncapped
