@@ -100,6 +100,16 @@ class CrawlConfig:
     # DataFrame consulted shard-locally via cogroup — the 10^10-URL
     # path where the filter is too big for a driver or broadcast.
     bloom_mode: str = "broadcast"
+    # >0: the top-K hosts by cumulative new-URL volume get per-host
+    # cuckoo filters (operators/cuckoo.py) consulted INSTEAD of the
+    # shared Bloom — near-exact membership for exactly the hosts that
+    # generate most duplicate candidates. Broadcast-bloom mode only;
+    # filters stay complete per host (built from the committed seen
+    # snapshots at promotion, fed every round's delta) so a cuckoo
+    # miss is a definite miss.
+    hot_hosts: int = 0
+    # cumulative new-URL count a host needs before promotion
+    hot_host_min_new: int = 256
 
 
 @dataclass
@@ -222,7 +232,10 @@ def _append_run_event(fs, out_dir, run_id, seed_url, max_pages, event) -> None:
 # ------------------------------------------- driver-side per-round metrics --
 
 
-def _round_file_stats(fs: LocalFS, out_dir: str, r: int, hash_limit: int = -1) -> dict:
+def _round_file_stats(
+    fs: LocalFS, out_dir: str, r: int, hash_limit: int = -1,
+    want_hosts: bool = False,
+) -> dict:
     """Every counter the round needs, from the just-written parquet —
     per-FILE granularity (one written file == one output partition), no
     Spark job. Feeds the driver's loop decisions, the lineage table, and
@@ -275,12 +288,18 @@ def _round_file_stats(fs: LocalFS, out_dir: str, r: int, hash_limit: int = -1) -
         stats["deferred"] += t.num_rows - n_new
     if 0 < stats["newly_discovered"] <= hash_limit:
         stats["new_hashes"] = []
+        if want_hosts:
+            stats["new_hosts"] = []
+        cols = ["is_new", "url_hash"] + (["host"] if want_hosts else [])
         for f, n_new in per_file_new:
             if n_new:
-                t = fs.read_parquet(f, columns=["is_new", "url_hash"])
+                t = fs.read_parquet(f, columns=cols)
                 is_new = t.column("is_new").to_numpy(zero_copy_only=False)
                 hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
                 stats["new_hashes"].append(hashes[is_new])
+                if want_hosts:
+                    hosts = t.column("host").to_numpy(zero_copy_only=False)
+                    stats["new_hosts"].append(hosts[is_new])
     return stats
 
 
@@ -329,15 +348,20 @@ def _write_lineage_rows(fs, out_dir, run_id, r, stats: dict) -> None:
 
 def _resume_state(
     fs: LocalFS, out_dir: str, resume_round: int
-) -> tuple[int, dict[str, int]]:
-    """(visited, backoff_k) for a resume — O(rounds) marker reads.
+) -> tuple[int, dict[str, int], dict[str, int]]:
+    """(visited, backoff_k, host_tally) for a resume — O(rounds) marker
+    reads.
 
     Each committed round's marker carries ``processed`` and
     ``hosts_429`` (a tiny host list), so no committed crawl_log parquet
     is ever re-opened — at the 10^10 design point the marker path is
-    KBs where a log re-scan would be TBs of driver I/O. Markers written
-    before the ``hosts_429`` field existed fall back to the legacy
-    crawl_log column scan (still driver-side, still no Spark job).
+    KBs where a log re-scan would be TBs of driver I/O. ``hot_tally``
+    (top hosts by new-URL count, present when hot-host filters are on)
+    resumes the promotion bookkeeping the same way; it is a truncated
+    heavy-hitter tally, which only influences WHICH hosts get a cuckoo
+    filter, never correctness. Markers written before the
+    ``hosts_429`` field existed fall back to the legacy crawl_log
+    column scan (still driver-side, still no Spark job).
     """
     markers = [
         fs.read_json(_marker(fs, out_dir, str(i)))
@@ -346,10 +370,13 @@ def _resume_state(
     if all("hosts_429" in mk and "processed" in mk for mk in markers):
         visited = sum(mk["processed"] for mk in markers)
         backoff_k: dict[str, int] = {}
+        host_tally: dict[str, int] = {}
         for mk in markers:
             for h in mk["hosts_429"]:
                 backoff_k[h] = backoff_k.get(h, 0) + 1
-        return visited, backoff_k
+            for h, n in mk.get("hot_tally", {}).items():
+                host_tally[h] = host_tally.get(h, 0) + n
+        return visited, backoff_k, host_tally
     # legacy markers (pre-hosts_429): recount from the committed log
     visited = 0
     backoff_k = {}
@@ -367,7 +394,7 @@ def _resume_state(
                 )
         for h in round_429_hosts:
             backoff_k[h] = backoff_k.get(h, 0) + 1
-    return visited, backoff_k
+    return visited, backoff_k, {}
 
 
 def _check_layout(fs: LocalFS, out_dir: str) -> None:
@@ -452,12 +479,14 @@ def crawl(
         _commit(fs, out_dir, "init", {"run_id": run_id})
         next_round = 0
         visited = 0
+        host_tally = {}
     else:
         _check_layout(fs, out_dir)
         next_round = resume_round + 1
-        # O(rounds) resume: visited + backoff from the commit markers
-        # alone — no committed crawl_log parquet is re-opened.
-        visited, backoff_k = _resume_state(fs, out_dir, resume_round)
+        # O(rounds) resume: visited + backoff + hot-host tally from the
+        # commit markers alone — no committed crawl_log parquet is
+        # re-opened.
+        visited, backoff_k, host_tally = _resume_state(fs, out_dir, resume_round)
         _append_run_event(
             fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
             cfg.max_pages, "resume_run",
@@ -509,6 +538,46 @@ def crawl(
         if (cfg.use_bloom and cfg.bloom_mode != "distributed")
         else -1
     )
+
+    # per-host cuckoo filters for hot hosts (broadcast-bloom mode only:
+    # the filters ride the same driver-fold regime; at 10^10 scale they
+    # live executor-side like DistributedBloom's shards)
+    hot_enabled = cfg.hot_hosts > 0 and isinstance(bloom, PartitionedBloom)
+    hot_filters: dict = {}
+
+    def _build_host_filter(host: str, up_to: int):
+        """Exact per-host filter from the committed seen snapshots —
+        the one-off promotion cost (columnar host+hash read)."""
+        import numpy as np
+
+        from sparkcrawler.operators.cuckoo import CuckooFilter
+
+        parts = []
+        for d in _committed_dirs(fs, out_dir, "frontier", up_to):
+            for f in fs.glob(fs.join(d, "*.parquet")):
+                t = fs.read_parquet(f, columns=["is_new", "host", "url_hash"])
+                is_new = t.column("is_new").to_numpy(zero_copy_only=False)
+                hosts = t.column("host").to_numpy(zero_copy_only=False)
+                hashes = t.column("url_hash").to_numpy(zero_copy_only=False)
+                mask = is_new & (hosts == host)
+                if mask.any():
+                    parts.append(hashes[mask])
+        hs = (
+            np.concatenate(parts).astype(np.int64)
+            if parts
+            else np.zeros(0, dtype=np.int64)
+        )
+        return CuckooFilter.from_hashes(hs)
+
+    def _hot_set(tally: dict) -> list[str]:
+        eligible = [
+            (n, h) for h, n in tally.items() if n >= cfg.hot_host_min_new
+        ]
+        return [h for _, h in sorted(eligible, reverse=True)[: cfg.hot_hosts]]
+
+    if hot_enabled:
+        for h in _hot_set(host_tally):
+            hot_filters[h] = _build_host_filter(h, next_round)
 
     trace = bool(__import__("os").environ.get("SPARKCRAWLER_TRACE"))
 
@@ -612,8 +681,14 @@ def crawl(
             if bloom is not None and bloom_covered < r
             else None
         )
+        if hot_enabled and hot_filters:
+            from sparkcrawler.operators.cuckoo import HotHostSeenFilter
+
+            seen_filter = HotHostSeenFilter(bloom, hot_filters)
+        else:
+            seen_filter = bloom
         new_links = dedup_against_seen(
-            discovered, seen_all, bloom, spark, seen_uncovered
+            discovered, seen_all, seen_filter, spark, seen_uncovered
         )
         next_frontier = plan.deferred.withColumn(
             "is_new", F.lit(False)
@@ -628,7 +703,9 @@ def crawl(
 
         # ---- driver-side: metrics, lineage, bloom delta (no Spark jobs) ----
         t3 = time.time()
-        m = _round_file_stats(fs, out_dir, r, hash_limit=hash_limit)
+        m = _round_file_stats(
+            fs, out_dir, r, hash_limit=hash_limit, want_hosts=hot_enabled
+        )
         processed = m["processed"]
         n_new = m["newly_discovered"]
         n_deferred = m["deferred"]
@@ -679,13 +756,48 @@ def crawl(
                     spark.read.parquet(*uncovered_dirs).where(F.col("is_new"))
                 )
             bloom_covered = r + 1
+
+        # ---- hot-host cuckoo maintenance (same driver-fold regime) ----
+        round_host_tally: dict[str, int] = {}
+        if hot_enabled:
+            if m["new_hashes"] is not None:
+                import numpy as np
+
+                for hosts_arr, hash_arr in zip(
+                    m.get("new_hosts", []), m["new_hashes"]
+                ):
+                    uniq, counts = np.unique(hosts_arr, return_counts=True)
+                    for h, n in zip(uniq.tolist(), counts.tolist()):
+                        round_host_tally[h] = round_host_tally.get(h, 0) + int(n)
+                    for h in list(hot_filters):
+                        mask = hosts_arr == h
+                        if mask.any() and not hot_filters[h].insert_many(
+                            np.asarray(hash_arr[mask], dtype=np.int64)
+                        ):
+                            # filter full → exact rebuild, re-sized for
+                            # the host's full current seen set
+                            hot_filters[h] = _build_host_filter(h, r + 1)
+                for h, n in round_host_tally.items():
+                    host_tally[h] = host_tally.get(h, 0) + n
+                for h in _hot_set(host_tally):
+                    if h not in hot_filters:
+                        hot_filters[h] = _build_host_filter(h, r + 1)
+            elif hot_filters and n_new > 0:
+                # a round too large for the driver fold: the filters
+                # would go stale (stale = false negatives = duplicate
+                # crawling) — demote; the Bloom still covers every host
+                hot_filters.clear()
         _tr(f"r{r} driver metrics+lineage+bloom", t3)
 
-        _commit(
-            fs, out_dir, str(r),
-            {"processed": processed, "new": n_new,
-             "hosts_429": sorted(m["hosts_429"])},
-        )
+        payload = {
+            "processed": processed, "new": n_new,
+            "hosts_429": sorted(m["hosts_429"]),
+        }
+        if hot_enabled:
+            payload["hot_tally"] = dict(
+                sorted(round_host_tally.items(), key=lambda kv: -kv[1])[:64]
+            )
+        _commit(fs, out_dir, str(r), payload)
         visited += processed
         stats.append(
             {"round": r, "frontier_in": frontier_count, "processed": processed,
