@@ -141,3 +141,48 @@ def test_crawl_with_hot_host_filters_identical(spark):
     assert logs[0] == logs[1]
     assert seens[0] == seens[1]
     assert len(logs[0]) > 40  # a real crawl, not a trivial one
+
+
+def test_hot_host_crawl_resume_bit_identical(spark):
+    """Kill after 2 rounds with hot-host filters active, resume →
+    identical to the uninterrupted hot-host run: the hot tally resumes
+    from commit markers and promoted filters rebuild complete from the
+    committed snapshots."""
+    import os
+
+    from sparkcrawler.plans.crawl import (
+        CrawlConfig, crawl, read_crawl_log, read_seen,
+    )
+    from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+
+    layout, pages = synth_pages_df(spark, 200, 3)
+    pages = pages.cache()
+    rob = robots_df(spark, layout)
+    seed = page_url(1, 0)
+    mk = lambda: CrawlConfig(max_pages=10_000, hot_hosts=2, hot_host_min_new=4)
+    try:
+        out_full = tempfile.mkdtemp(prefix="sc_hotfull_")
+        out_res = tempfile.mkdtemp(prefix="sc_hotres_")
+        try:
+            crawl(spark, pages, rob, [seed], out_full, config=mk())
+            cfg_partial = mk()
+            cfg_partial.max_rounds = 2
+            crawl(spark, pages, rob, [seed], out_res, config=cfg_partial)
+            # marker from the partial run carries the hot tally
+            import json
+
+            with open(os.path.join(out_res, "_committed_1")) as fh:
+                assert "hot_tally" in json.load(fh)
+            crawl(spark, pages, rob, [seed], out_res, config=mk())
+            key = lambda o: sorted(
+                (r["url"], r["depth"], r["crawl_status"], r["status_code"])
+                for r in read_crawl_log(spark, o).collect()
+            )
+            assert key(out_res) == key(out_full)
+            seen = lambda o: {r["url"] for r in read_seen(spark, o).collect()}
+            assert seen(out_res) == seen(out_full)
+        finally:
+            shutil.rmtree(out_full, ignore_errors=True)
+            shutil.rmtree(out_res, ignore_errors=True)
+    finally:
+        pages.unpersist()
