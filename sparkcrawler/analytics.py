@@ -940,6 +940,125 @@ SELECT doc_id, lang,
 FROM documents ORDER BY doc_id
 """
 
+# BPE-ish pre-tokenization regex: letter runs, digit runs, single
+# punctuation marks — the GPT-2-style split shape restricted to
+# constructs Java regex and RE2 evaluate identically (no lookarounds).
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def docs_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer: subword-style
+    counts from a regex split (letter runs / digit runs / punctuation)
+    next to the whitespace count — the pair a training-data pipeline
+    uses to estimate tokenizer cost per document. Pure builtins
+    (regexp_count), one scan, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_RE)).cast("long")
+    n_ws = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_bpe.alias("n_bpe_tokens"),
+            n_ws.alias("n_ws_tokens"),
+            F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias(
+                "subtokens_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+         AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '{_BPE_RE}')) * 1.0 /
+             greatest(len(list_filter(string_split(text, ' '), w -> w <> '')),
+                      1), 4) AS subtokens_per_word
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every char 5-gram (integer-exact
+    md5-prefix recipe), slide a window of 8 gram-hashes, keep each
+    window's minimum — the guaranteed-coverage fingerprint set a
+    copy-detector indexes. Emitted per doc: fingerprint count + min,
+    both engine-exact. Relational form: one window function over the
+    gram sequence, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.length("text") >= 5,
+                F.expr(
+                    "transform(sequence(1, length(text) - 4),"
+                    " i -> substring(text, i, 5))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    hm = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % _MH_MOD
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 7)
+    )
+    fps = (
+        grams.select("doc_id", "pos", hm.alias("h"))
+        .withColumn("wmin", F.min("h").over(w))
+        # last 7 positions have truncated windows; winnowing drops them
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .where(F.col("pos") <= F.col("_n") - 8)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("wmin").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, gs AS pos, substring(text, gs, 5) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 3, 1))) AS gs
+        FROM documents)
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_MH_MOD} AS h
+  FROM grams
+),
+wm AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS _n
+  FROM h
+),
+fps AS (
+  -- pos is 1-based here (Spark's posexplode is 0-based): a full
+  -- window [pos, pos+7] needs pos+7 <= _n
+  SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= _n - 7
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(wmin) AS min_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _STOPWORDS = ["the", "a", "join", "group", "order"]
 
 
@@ -1734,6 +1853,8 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_dedup_pipeline": QuerySpec(docs_dedup_pipeline, DEDUP_PIPELINE_SQL),
     "docs_simhash": QuerySpec(docs_simhash, SIMHASH_SQL),
     "docs_token_stats": QuerySpec(docs_token_stats, TOKENS_SQL),
+    "docs_bpe_tokens": QuerySpec(docs_bpe_tokens, BPE_TOKENS_SQL),
+    "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
