@@ -1178,14 +1178,20 @@ def _ann_index_dir(spark, sf_dir) -> str:
     root = f"{_DEMO_ROOT}/annidx_{ver}"
     if not os.path.exists(os.path.join(root, "_READY")):
         emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") > 0)
-        tmp = tempfile.mkdtemp(prefix="sc_annidx_build_")
+        # build on the SAME filesystem as the destination, so the
+        # publish rename can never fail with EXDEV (a cross-device
+        # tmpdir would silently discard the fresh index and return a
+        # nonexistent path)
+        os.makedirs(_DEMO_ROOT, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="annidx_build_", dir=_DEMO_ROOT)
         _ann.build_ann_index(emb, os.path.join(tmp, "idx"))
         with open(os.path.join(tmp, "_READY"), "w") as fh:
             fh.write("ok")
-        os.makedirs(_DEMO_ROOT, exist_ok=True)
         try:
             os.rename(tmp, root)
         except OSError:
+            if not os.path.exists(os.path.join(root, "_READY")):
+                raise  # not a lost race — surface the real error
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
     return os.path.join(root, "idx")
 

@@ -63,6 +63,11 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self.count = 0
         self._kick_state = 0x9E3779B9  # deterministic eviction choices
+        # victim cache: (bucket, fp) pairs displaced by a failed insert's
+        # kick chain. Standard cuckoo-filter stash — keeps the "no false
+        # negatives" contract even for a saturated filter (an insert that
+        # returns False signals "resize recommended", never corruption).
+        self.stash: list[tuple[int, int]] = []
 
     # ------------------------------------------------------------ helpers --
 
@@ -102,13 +107,22 @@ class CuckooFilter:
             if self._try_put(i, fp):
                 self.count += 1
                 return True
-        return False  # table effectively full — caller resizes
+        # table effectively full: the NEW key is resident (the first kick
+        # swapped it in); the homeless victim — some OLDER resident — goes
+        # to the stash so no previously-inserted key is ever lost. False
+        # tells the caller a resize/rebuild is recommended.
+        self.stash.append((i, fp))
+        self.count += 1
+        return False
 
     def insert_many(self, hs: np.ndarray) -> bool:
+        """Insert every hash (none are dropped — overflow victims land in
+        the stash). Returns False if ANY insert saturated, i.e. the
+        caller should rebuild at a larger size when convenient."""
+        ok = True
         for h in hs.tolist():
-            if not self.insert(int(h)):
-                return False
-        return True
+            ok = self.insert(int(h)) and ok
+        return ok
 
     # -------------------------------------------------------------- query --
 
@@ -124,7 +138,10 @@ class CuckooFilter:
         ) % np.uint64(self.n_buckets)
         hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
         hit2 = (self.table[alt.astype(np.int64)] == fp[:, None]).any(axis=1)
-        return hit1 | hit2
+        hit = hit1 | hit2
+        for b, sfp in self.stash:  # victim cache (tiny; usually empty)
+            hit |= (fp == sfp) & ((i1 == b) | (alt.astype(np.int64) == b))
+        return hit
 
     def contains(self, h: int) -> bool:
         return bool(self.contains_many(np.array([h], dtype=np.int64))[0])
@@ -144,7 +161,40 @@ class CuckooFilter:
                 row[where[0]] = 0
                 self.count -= 1
                 return True
+        for j, (b, sfp) in enumerate(self.stash):
+            if sfp == fp and b in (i1, self._alt(i1, fp)):
+                del self.stash[j]
+                self.count -= 1
+                return True
         return False
+
+    # -------------------------------------------- executor-side state rows --
+
+    def to_state(self) -> tuple[int, int, bytes, bytes]:
+        """(n_buckets, count, table_bytes, stash_bytes) — the serialized
+        form shipped in DistributedHotHostFilter's per-host rows."""
+        stash = np.asarray(self.stash or [], dtype=np.int64).reshape(-1)
+        return (
+            self.n_buckets,
+            self.count,
+            np.ascontiguousarray(self.table).tobytes(),
+            stash.tobytes(),
+        )
+
+    @classmethod
+    def from_state(
+        cls, n_buckets: int, count: int, table: bytes, stash: bytes = b""
+    ) -> "CuckooFilter":
+        f = cls(n_buckets)
+        f.table = (
+            np.frombuffer(table, dtype=np.uint16)
+            .reshape(n_buckets, cls.SLOTS)
+            .copy()
+        )
+        f.count = count
+        pairs = np.frombuffer(stash, dtype=np.int64).reshape(-1, 2)
+        f.stash = [(int(b), int(fp)) for b, fp in pairs]
+        return f
 
     # ------------------------------------------------------------- sizing --
 
@@ -176,6 +226,7 @@ class HotHostSeenFilter:
     def __init__(self, bloom, filters: dict[str, CuckooFilter]):
         self.bloom = bloom
         self.filters = filters
+        self._bc = None  # current round's broadcast of the hot tables
 
     @property
     def n_added(self) -> int:
@@ -185,9 +236,16 @@ class HotHostSeenFilter:
         tagged = self.bloom.tag_maybe(candidates, spark)
         if not self.filters:
             return tagged
+        # reclaim the previous round's broadcast before shipping a new
+        # one (its actions are complete by the time the next round plans)
+        # — otherwise a long crawl accretes one table-sized broadcast per
+        # round on the driver and every executor.
+        if self._bc is not None:
+            self._bc.unpersist(blocking=False)
         bc = spark.sparkContext.broadcast(
-            {h: (f.n_buckets, f.table) for h, f in self.filters.items()}
+            {h: f.to_state() for h, f in self.filters.items()}
         )
+        self._bc = bc
 
         @F.pandas_udf(BooleanType())
         def override(host: pd.Series, url_hash: pd.Series,
@@ -200,8 +258,7 @@ class HotHostSeenFilter:
                 t = tables.get(h)
                 if t is None:
                     continue
-                f = CuckooFilter(t[0])
-                f.table = t[1]
+                f = CuckooFilter.from_state(*t)
                 mask = hosts == h
                 out[mask] = f.contains_many(hs[mask])
             return pd.Series(out)
@@ -210,3 +267,207 @@ class HotHostSeenFilter:
             "_maybe",
             override(F.col("host"), F.col("url_hash"), F.col("_maybe")),
         )
+
+    def release(self) -> None:
+        """Destroy the last broadcast (crawl end / filter retirement)."""
+        if self._bc is not None:
+            self._bc.destroy()
+            self._bc = None
+
+
+_STATE_SCHEMA = "host string, n_buckets int, n long, table binary, stash binary"
+
+
+class DistributedHotHostFilter:
+    """Per-host cuckoo filters whose tables NEVER leave the executors —
+    the :class:`~sparkcrawler.operators.seen.DistributedBloom` pattern
+    applied to the hot-host layer, so "per-host cuckoo filters for hot
+    domains" holds in exactly the regime the 10^10 design point needs
+    (rounds too big for a driver fold, Bloom bitmaps living
+    executor-side).
+
+    State is a persisted ``(host, n_buckets, n, table, stash)``
+    DataFrame, one row per hot host:
+
+    - **build** (:meth:`ensure_hosts`): filters for newly promoted hosts
+      are built executor-side from the committed seen snapshots — one
+      ``groupBy(host).applyInPandas`` task per host, exact and complete
+      by construction.
+    - **update** (:meth:`update_from_df`): each round's new-URL delta,
+      restricted to the hot hosts, cogroups with the state rows; one
+      task per host merges the delta into that host's table. A
+      saturated table stays CORRECT (overflow victims go to the
+      filter's stash — no false negatives, see
+      :meth:`CuckooFilter.insert`), so a merge never needs the original
+      hashes; hosts whose stash outgrew ``STASH_REBUILD`` are rebuilt
+      exact from the seen snapshots in the same pass structure.
+    - **consult** (:meth:`tag_maybe`): after the Bloom tag, candidate
+      rows of hot hosts cogroup with their host's single state row and
+      the cuckoo answer REPLACES the Bloom's (complete per host → a
+      miss is a definite miss); cold hosts pass through untouched,
+      JVM-side.
+
+    The driver only ever holds the hot host NAMES (≤ the configured
+    top-K) — never a table, never a hash column.
+    """
+
+    STASH_REBUILD = 64
+
+    def __init__(self, spark: SparkSession, bloom):
+        self.spark = spark
+        self.bloom = bloom
+        self.hosts: set[str] = set()
+        self.tables_df: DataFrame | None = None  # persisted state rows
+        # hosts whose driver-resident filters are being migrated here
+        # (crawl.py sets this when a big round flips the regime)
+        self.hosts_migrating: set[str] = set()
+
+    @property
+    def n_added(self) -> int:
+        return self.bloom.n_added
+
+    # ------------------------------------------------------------ build --
+
+    @staticmethod
+    def _build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["host"].iloc[0]
+        f = CuckooFilter.from_hashes(
+            pdf["url_hash"].to_numpy(dtype=np.int64)
+        )
+        nb, n, table, stash = f.to_state()
+        return pd.DataFrame(
+            {"host": [host], "n_buckets": [nb], "n": [n],
+             "table": [table], "stash": [stash]}
+        )
+
+    def _swap_state(self, new: DataFrame) -> None:
+        new = new.persist()
+        new.count()  # materialize before dropping the previous state
+        if self.tables_df is not None:
+            self.tables_df.unpersist()
+        self.tables_df = new
+
+    def ensure_hosts(self, hosts, seen_df: DataFrame) -> None:
+        """Promote ``hosts`` (build exact filters from ``seen_df`` —
+        the full seen set including the current round). Hosts already
+        held are untouched; no-op when nothing is new."""
+        missing = sorted(set(hosts) - self.hosts)
+        if not missing:
+            return
+        built = (
+            seen_df.where(F.col("host").isin(missing))
+            .select("host", "url_hash")
+            .groupBy("host")
+            .applyInPandas(self._build_rows, schema=_STATE_SCHEMA)
+        )
+        new = (
+            built
+            if self.tables_df is None
+            else self.tables_df.unionByName(built)
+        )
+        self._swap_state(new)
+        self.hosts.update(missing)
+
+    # ----------------------------------------------------------- update --
+
+    def update_from_df(self, new_rows: DataFrame, seen_df: DataFrame) -> None:
+        """Fold a round's new-URL delta into the hot tables, one
+        host-local task each. ``seen_df`` (seen set INCLUDING the delta)
+        feeds the in-task exact rebuild of any host whose table
+        saturated past the stash threshold."""
+        if not self.hosts or self.tables_df is None:
+            return
+        hot = sorted(self.hosts)
+        delta = new_rows.where(F.col("host").isin(hot)).select(
+            "host", "url_hash"
+        )
+        rebuild_limit = self.STASH_REBUILD
+
+        def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if right.empty:  # host not hot (shouldn't happen: delta is filtered)
+                return right
+            r = right.iloc[0]
+            if left.empty:
+                return right
+            f = CuckooFilter.from_state(
+                int(r["n_buckets"]), int(r["n"]), r["table"], r["stash"]
+            )
+            f.insert_many(left["url_hash"].to_numpy(dtype=np.int64))
+            if len(f.stash) > rebuild_limit:
+                # saturated: signal the driver-side rebuild pass below by
+                # zeroing n_buckets (the row stays correct via the full
+                # table+stash, so consults before the rebuild are safe)
+                nb, n, table, stash = f.to_state()
+                return pd.DataFrame(
+                    {"host": [r["host"]], "n_buckets": [0], "n": [n],
+                     "table": [table], "stash": [stash]}
+                )
+            nb, n, table, stash = f.to_state()
+            return pd.DataFrame(
+                {"host": [r["host"]], "n_buckets": [nb], "n": [n],
+                 "table": [table], "stash": [stash]}
+            )
+
+        merged = (
+            delta.groupBy("host")
+            .cogroup(self.tables_df.groupBy("host"))
+            .applyInPandas(merge, schema=_STATE_SCHEMA)
+        )
+        self._swap_state(merged)
+        # rare exact rebuild of saturated hosts (tiny manifest collect —
+        # ≤ top-K rows of (host, n_buckets), never a table)
+        saturated = [
+            r["host"]
+            for r in self.tables_df.where(F.col("n_buckets") == 0)
+            .select("host")
+            .collect()
+        ]
+        if saturated:
+            rebuilt = (
+                seen_df.where(F.col("host").isin(saturated))
+                .select("host", "url_hash")
+                .groupBy("host")
+                .applyInPandas(self._build_rows, schema=_STATE_SCHEMA)
+            )
+            self._swap_state(
+                self.tables_df.where(F.col("n_buckets") > 0).unionByName(rebuilt)
+            )
+
+    # ---------------------------------------------------------- consult --
+
+    def tag_maybe(self, candidates: DataFrame, spark: SparkSession) -> DataFrame:
+        tagged = self.bloom.tag_maybe(candidates, spark)
+        if not self.hosts or self.tables_df is None:
+            return tagged
+        hot = sorted(self.hosts)
+        cold = tagged.where(~F.col("host").isin(hot))
+        cand_hot = tagged.where(F.col("host").isin(hot))
+        out_schema = tagged.schema
+
+        def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return left
+            if right.empty:  # promoted this instant, state row not yet visible
+                return left
+            r = right.iloc[0]
+            # a rebuild-pending row (n_buckets==0) still carries the full
+            # correct table+stash; its true size is len(table)/(2·SLOTS)
+            nb = int(r["n_buckets"]) or len(r["table"]) // (2 * CuckooFilter.SLOTS)
+            f = CuckooFilter.from_state(nb, int(r["n"]), r["table"], r["stash"])
+            left = left.copy()
+            left["_maybe"] = f.contains_many(
+                left["url_hash"].to_numpy(dtype=np.int64)
+            )
+            return left
+
+        checked = (
+            cand_hot.groupBy("host")
+            .cogroup(self.tables_df.groupBy("host"))
+            .applyInPandas(check, schema=out_schema)
+        )
+        return cold.unionByName(checked)
+
+    def release(self) -> None:
+        if self.tables_df is not None:
+            self.tables_df.unpersist()
+            self.tables_df = None

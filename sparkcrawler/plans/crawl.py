@@ -103,10 +103,13 @@ class CrawlConfig:
     # >0: the top-K hosts by cumulative new-URL volume get per-host
     # cuckoo filters (operators/cuckoo.py) consulted INSTEAD of the
     # shared Bloom — near-exact membership for exactly the hosts that
-    # generate most duplicate candidates. Broadcast-bloom mode only;
-    # filters stay complete per host (built from the committed seen
-    # snapshots at promotion, fed every round's delta) so a cuckoo
-    # miss is a definite miss.
+    # generate most duplicate candidates. Filters stay complete per host
+    # (built from the committed seen snapshots at promotion, fed every
+    # round's delta) so a cuckoo miss is a definite miss. They follow
+    # the Bloom's regime: driver-resident + broadcast for small rounds
+    # under a PartitionedBloom, executor-side host-keyed state rows
+    # (DistributedHotHostFilter) under a DistributedBloom or once any
+    # round outgrows bloom_driver_update_limit (migration, not demotion).
     hot_hosts: int = 0
     # cumulative new-URL count a host needs before promotion
     hot_host_min_new: int = 256
@@ -539,11 +542,25 @@ def crawl(
         else -1
     )
 
-    # per-host cuckoo filters for hot hosts (broadcast-bloom mode only:
-    # the filters ride the same driver-fold regime; at 10^10 scale they
-    # live executor-side like DistributedBloom's shards)
-    hot_enabled = cfg.hot_hosts > 0 and isinstance(bloom, PartitionedBloom)
+    # per-host cuckoo filters for hot hosts. Two regimes, matching the
+    # Bloom's: driver-resident tables broadcast each round (small rounds
+    # under a PartitionedBloom), or executor-side host-keyed state rows
+    # consulted/updated via cogroup (DistributedBloom mode, and any
+    # broadcast-mode crawl once a round outgrows the driver fold — the
+    # filters MIGRATE executor-side instead of demoting, so the hot-host
+    # layer operates in exactly the big-round regime it exists for).
+    hot_enabled = cfg.hot_hosts > 0 and bloom is not None
+    use_hot_dist = hot_enabled and not isinstance(bloom, PartitionedBloom)
     hot_filters: dict = {}
+    hot_bc_filter = None  # persistent wrapper (reclaims its broadcast each round)
+    hot_dist = None       # executor-side tables (DistributedHotHostFilter)
+
+    def _seen_new(up_to: int):
+        """Seen-set view (is_new frontier rows) over committed rounds —
+        executor-side input for hot-filter builds/rebuilds."""
+        return spark.read.parquet(
+            *_committed_dirs(fs, out_dir, "frontier", up_to)
+        ).where(F.col("is_new"))
 
     def _build_host_filter(host: str, up_to: int):
         """Exact per-host filter from the committed seen snapshots —
@@ -575,9 +592,16 @@ def crawl(
         ]
         return [h for _, h in sorted(eligible, reverse=True)[: cfg.hot_hosts]]
 
-    if hot_enabled:
-        for h in _hot_set(host_tally):
-            hot_filters[h] = _build_host_filter(h, next_round)
+    if hot_enabled and host_tally:
+        want = _hot_set(host_tally)
+        if use_hot_dist and want:
+            from sparkcrawler.operators.cuckoo import DistributedHotHostFilter
+
+            hot_dist = DistributedHotHostFilter(spark, bloom)
+            hot_dist.ensure_hosts(want, _seen_new(next_round))
+        else:
+            for h in want:
+                hot_filters[h] = _build_host_filter(h, next_round)
 
     trace = bool(__import__("os").environ.get("SPARKCRAWLER_TRACE"))
 
@@ -681,10 +705,17 @@ def crawl(
             if bloom is not None and bloom_covered < r
             else None
         )
-        if hot_enabled and hot_filters:
+        if hot_dist is not None and hot_dist.hosts:
+            seen_filter = hot_dist
+        elif hot_enabled and hot_filters:
             from sparkcrawler.operators.cuckoo import HotHostSeenFilter
 
-            seen_filter = HotHostSeenFilter(bloom, hot_filters)
+            if hot_bc_filter is None:
+                # ONE wrapper for the whole crawl: it reclaims the
+                # previous round's broadcast before shipping the next
+                # (hot_filters is mutated in place, never rebound)
+                hot_bc_filter = HotHostSeenFilter(bloom, hot_filters)
+            seen_filter = hot_bc_filter
         else:
             seen_filter = bloom
         new_links = dedup_against_seen(
@@ -704,7 +735,8 @@ def crawl(
         # ---- driver-side: metrics, lineage, bloom delta (no Spark jobs) ----
         t3 = time.time()
         m = _round_file_stats(
-            fs, out_dir, r, hash_limit=hash_limit, want_hosts=hot_enabled
+            fs, out_dir, r, hash_limit=hash_limit,
+            want_hosts=hot_enabled and hot_dist is None and not use_hot_dist,
         )
         processed = m["processed"]
         n_new = m["newly_discovered"]
@@ -757,10 +789,15 @@ def crawl(
                 )
             bloom_covered = r + 1
 
-        # ---- hot-host cuckoo maintenance (same driver-fold regime) ----
+        # ---- hot-host cuckoo maintenance ----
         round_host_tally: dict[str, int] = {}
         if hot_enabled:
-            if m["new_hashes"] is not None:
+            driver_fold = (
+                hot_dist is None
+                and not use_hot_dist
+                and m["new_hashes"] is not None
+            )
+            if driver_fold:
                 import numpy as np
 
                 for hosts_arr, hash_arr in zip(
@@ -782,11 +819,46 @@ def crawl(
                 for h in _hot_set(host_tally):
                     if h not in hot_filters:
                         hot_filters[h] = _build_host_filter(h, r + 1)
-            elif hot_filters and n_new > 0:
-                # a round too large for the driver fold: the filters
-                # would go stale (stale = false negatives = duplicate
-                # crawling) — demote; the Bloom still covers every host
-                hot_filters.clear()
+            elif n_new > 0:
+                # executor-side regime (distributed Bloom, or a round too
+                # big for the driver fold): the tally comes from one
+                # capped aggregation job (≤64 (host, n) rows ever reach
+                # the driver), and the tables update/promote via
+                # host-local cogroup tasks — no url_hash column is ever
+                # read driver-side, and nothing demotes.
+                from sparkcrawler.operators.cuckoo import (
+                    DistributedHotHostFilter,
+                )
+
+                new_df = spark.read.parquet(
+                    fs.join(out_dir, "frontier", f"r{r + 1}")
+                ).where(F.col("is_new"))
+                for row in (
+                    new_df.groupBy("host")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy(F.desc("n"), "host")
+                    .limit(64)
+                    .collect()
+                ):
+                    round_host_tally[row["host"]] = int(row["n"])
+                for h, n in round_host_tally.items():
+                    host_tally[h] = host_tally.get(h, 0) + n
+                if hot_dist is None:
+                    hot_dist = DistributedHotHostFilter(spark, bloom)
+                    if hot_filters:
+                        # migrate driver-resident filters executor-side
+                        # (exact rebuild from the committed snapshots,
+                        # this round included) instead of demoting
+                        hot_dist.hosts_migrating = set(hot_filters)
+                        hot_filters.clear()
+                        if hot_bc_filter is not None:
+                            hot_bc_filter.release()
+                want = set(_hot_set(host_tally)) | hot_dist.hosts_migrating
+                if hot_dist.hosts or want:
+                    seen_now = _seen_new(r + 1)
+                    hot_dist.update_from_df(new_df, seen_now)
+                    hot_dist.ensure_hosts(want, seen_now)
+                    hot_dist.hosts_migrating = set()
         _tr(f"r{r} driver metrics+lineage+bloom", t3)
 
         payload = {
@@ -799,17 +871,27 @@ def crawl(
             )
         _commit(fs, out_dir, str(r), payload)
         visited += processed
-        stats.append(
-            {"round": r, "frontier_in": frontier_count, "processed": processed,
-             "new": n_new, "deferred": n_deferred,
-             "wall": round(time.time() - t_round, 3)}
-        )
+        entry = {
+            "round": r, "frontier_in": frontier_count, "processed": processed,
+            "new": n_new, "deferred": n_deferred,
+            "wall": round(time.time() - t_round, 3),
+        }
+        if hot_enabled:
+            entry["hot_active"] = (
+                len(hot_dist.hosts) if hot_dist is not None else len(hot_filters)
+            )
+            entry["hot_mode"] = "distributed" if hot_dist is not None else "driver"
+        stats.append(entry)
         plan.decided.unpersist()
         plan.extracted.unpersist()
         frontier_count = n_new + n_deferred
         _tr(f"r{r} TOTAL", t_round)
         r += 1
 
+    if hot_bc_filter is not None:
+        hot_bc_filter.release()
+    if hot_dist is not None:
+        hot_dist.release()
     _append_run_event(
         fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
         cfg.max_pages, "complete_run",

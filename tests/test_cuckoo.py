@@ -186,3 +186,227 @@ def test_hot_host_crawl_resume_bit_identical(spark):
             shutil.rmtree(out_res, ignore_errors=True)
     finally:
         pages.unpersist()
+
+
+# ------------------------- round 4: executor-side hot-host filter shards --
+
+
+def test_distributed_filter_matches_driver_filter(spark):
+    """DistributedHotHostFilter must give the same _maybe answers as the
+    driver-resident HotHostSeenFilter over identical state."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawler.operators.cuckoo import DistributedHotHostFilter
+    from sparkcrawler.operators.seen import PartitionedBloom
+
+    seen_a = _hashes(400, seed=11)
+    seen_b = _hashes(300, seed=12)
+    bloom = PartitionedBloom(4, 1 << 16)
+    bloom.add_hashes(np.concatenate([seen_a, seen_b]))
+
+    seen_df = spark.createDataFrame(
+        [("a.example", int(h)) for h in seen_a]
+        + [("b.example", int(h)) for h in seen_b],
+        "host string, url_hash long",
+    )
+    dist = DistributedHotHostFilter(spark, bloom)
+    dist.ensure_hosts({"a.example", "b.example"}, seen_df)
+
+    driver = HotHostSeenFilter(
+        bloom,
+        {
+            "a.example": CuckooFilter.from_hashes(seen_a),
+            "b.example": CuckooFilter.from_hashes(seen_b),
+        },
+    )
+
+    probe = (
+        [("a.example", int(h)) for h in seen_a[:60]]
+        + [("a.example", int(h)) for h in _hashes(60, seed=13)]
+        + [("b.example", int(h)) for h in seen_b[:60]]
+        + [("cold.example", int(h)) for h in seen_a[:30]]
+    )
+    cand = spark.createDataFrame(probe, "host string, url_hash long")
+    key = lambda rows: sorted(
+        (r["host"], r["url_hash"], r["_maybe"]) for r in rows
+    )
+    got_d = key(dist.tag_maybe(cand, spark).collect())
+    got_b = key(driver.tag_maybe(cand, spark).collect())
+    assert got_d == got_b
+    # delta update keeps answering correctly (no false negatives)
+    delta = _hashes(100, seed=14)
+    delta_df = spark.createDataFrame(
+        [("a.example", int(h)) for h in delta], "host string, url_hash long"
+    )
+    dist.update_from_df(delta_df, seen_df.unionByName(delta_df))
+    cand2 = spark.createDataFrame(
+        [("a.example", int(h)) for h in delta], "host string, url_hash long"
+    )
+    assert all(r["_maybe"] for r in dist.tag_maybe(cand2, spark).collect())
+    dist.release()
+    driver.release()
+
+
+def test_distributed_bloom_hot_crawl_identical(spark):
+    """North-star regime: DISTRIBUTED bloom + hot-host cuckoo shards —
+    bit-identical to the plain anti-join crawl, with the hot layer
+    actually active (round stats prove it ran distributed)."""
+    from sparkcrawler.plans.crawl import (
+        CrawlConfig, crawl, read_crawl_log, read_seen,
+    )
+    from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+
+    layout, pages = synth_pages_df(spark, 200, 3)
+    pages = pages.cache()
+    rob = robots_df(spark, layout)
+    seed = page_url(1, 0)
+    logs, seens, stats = [], [], []
+    try:
+        for cfg in (
+            CrawlConfig(max_pages=10_000, use_bloom=False),
+            CrawlConfig(
+                max_pages=10_000, bloom_mode="distributed",
+                hot_hosts=2, hot_host_min_new=4,
+            ),
+        ):
+            out = tempfile.mkdtemp(prefix="sc_hotdist_")
+            try:
+                res = crawl(spark, pages, rob, [seed], out, config=cfg)
+                stats.append(res.round_stats)
+                logs.append(
+                    sorted(
+                        (r["url"], r["depth"], r["crawl_status"], r["status_code"])
+                        for r in read_crawl_log(spark, out).collect()
+                    )
+                )
+                seens.append({r["url"] for r in read_seen(spark, out).collect()})
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    finally:
+        pages.unpersist()
+    assert logs[0] == logs[1]
+    assert seens[0] == seens[1]
+    assert len(logs[0]) > 40
+    hot_rounds = [s for s in stats[1] if s.get("hot_active", 0) > 0]
+    assert hot_rounds, "hot filters never activated"
+    assert all(s["hot_mode"] == "distributed" for s in hot_rounds)
+
+
+def test_big_round_migrates_distributed_no_driver_hashes(spark):
+    """A round past bloom_driver_update_limit must NOT demote the hot
+    layer and must NOT read url_hash driver-side: the filters migrate to
+    executor-side shards (RecordingFS-asserted)."""
+    from sparkcrawler.plans.crawl import (
+        CrawlConfig, crawl, read_crawl_log, read_seen,
+    )
+    from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+    from tests.test_crawl import RecordingFS
+
+    layout, pages = synth_pages_df(spark, 200, 3)
+    pages = pages.cache()
+    rob = robots_df(spark, layout)
+    seed = page_url(1, 0)
+    try:
+        outs = []
+        cfgs = [
+            CrawlConfig(max_pages=10_000),
+            CrawlConfig(
+                max_pages=10_000, hot_hosts=2, hot_host_min_new=4,
+                bloom_driver_update_limit=0,  # every round is "too big"
+            ),
+        ]
+        fss = [None, RecordingFS()]
+        logs, seens, stats = [], [], []
+        try:
+            for cfg, fs in zip(cfgs, fss):
+                out = tempfile.mkdtemp(prefix="sc_hotmig_")
+                outs.append(out)
+                res = crawl(spark, pages, rob, [seed], out, config=cfg, fs=fs)
+                stats.append(res.round_stats)
+                logs.append(
+                    sorted(
+                        (r["url"], r["depth"], r["crawl_status"], r["status_code"])
+                        for r in read_crawl_log(spark, out).collect()
+                    )
+                )
+                seens.append({r["url"] for r in read_seen(spark, out).collect()})
+        finally:
+            for out in outs:
+                shutil.rmtree(out, ignore_errors=True)
+    finally:
+        pages.unpersist()
+    assert logs[0] == logs[1]
+    assert seens[0] == seens[1]
+    # the driver never read a url_hash column in the hot run
+    for path, cols in fss[1].reads:
+        assert cols is None or "url_hash" not in cols, (path, cols)
+    # the hot layer ran — distributed, never demoted
+    hot_rounds = [s for s in stats[1] if s.get("hot_active", 0) > 0]
+    assert hot_rounds, "hot filters never activated"
+    assert all(s["hot_mode"] == "distributed" for s in hot_rounds)
+    # once active, stays active to the end (no demotion)
+    first = min(s["round"] for s in hot_rounds)
+    tail = [s for s in stats[1] if s["round"] >= first]
+    assert all(s.get("hot_active", 0) > 0 for s in tail)
+
+
+def test_broadcast_to_distributed_migration_mid_crawl(spark):
+    """Driver-resident filters promoted early must MIGRATE (not clear)
+    when a later round exceeds the driver-fold limit."""
+    from sparkcrawler.plans.crawl import (
+        CrawlConfig, crawl, read_crawl_log, read_seen,
+    )
+    from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+
+    layout, pages = synth_pages_df(spark, 200, 3)
+    pages = pages.cache()
+    rob = robots_df(spark, layout)
+    seed = page_url(1, 0)
+    logs, seens, stats = [], [], []
+    try:
+        for cfg in (
+            CrawlConfig(max_pages=10_000),
+            CrawlConfig(
+                max_pages=10_000, hot_hosts=2, hot_host_min_new=2,
+                bloom_driver_update_limit=8,  # rounds outgrow this fast
+            ),
+        ):
+            out = tempfile.mkdtemp(prefix="sc_hotmid_")
+            try:
+                res = crawl(spark, pages, rob, [seed], out, config=cfg)
+                stats.append(res.round_stats)
+                logs.append(
+                    sorted(
+                        (r["url"], r["depth"], r["crawl_status"], r["status_code"])
+                        for r in read_crawl_log(spark, out).collect()
+                    )
+                )
+                seens.append({r["url"] for r in read_seen(spark, out).collect()})
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    finally:
+        pages.unpersist()
+    assert logs[0] == logs[1]
+    assert seens[0] == seens[1]
+    modes = [s.get("hot_mode") for s in stats[1]]
+    assert "distributed" in modes, modes
+
+
+def test_stash_keeps_saturated_filter_correct():
+    """ADVICE fix: a failed insert's kick chain must not lose keys —
+    the homeless victim lands in the stash, so every inserted key is
+    still found even after saturation."""
+    f = CuckooFilter(16)  # 64 slots
+    hs = _hashes(200, seed=21)
+    ok = f.insert_many(hs)
+    assert not ok  # saturation reported...
+    assert f.contains_many(hs).all()  # ...but NO false negatives
+    assert len(f.stash) > 0
+    # round-trip through serialized state keeps the stash
+    f2 = CuckooFilter.from_state(*f.to_state())
+    assert f2.contains_many(hs).all()
+    # stash entries are deletable
+    stash_before = len(f2.stash)
+    # find a key currently answered via the stash: delete from table
+    # copies first, then the stash entry must still be removable
+    assert f2.count == f.count
