@@ -20,11 +20,7 @@ all meet in one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
-
-def _order():
-    """Deterministic admission order: BFS depth, then priority, then hash."""
-    return [F.col("depth"), F.col("priority"), F.col("url_hash"), F.col("url")]
+from pyspark.sql import DataFrame, functions as F
 
 
 def politeness_decided(
@@ -40,35 +36,40 @@ def politeness_decided(
     lets the caller persist it so the admitted and deferred branches
     share the window computation across the round's jobs.
     """
+    # SQL-string plan construction throughout: each stage is ONE
+    # selectExpr/where parse instead of dozens of py4j gateway
+    # round-trips — this function runs every round, and plan-build
+    # latency is pure driver fixed cost that does not shrink with cores.
     cols = [c for c in frontier.columns]
-    budget = F.floor(F.lit(round_seconds) / F.col("crawl_delay")).cast("int")
-    has_budget = F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0)
+    has_budget = "crawl_delay IS NOT NULL AND crawl_delay > 0"
+    order_sql = "ORDER BY depth, priority, url_hash, url"
 
-    free = frontier.where(~has_budget).withColumn("_admitted", F.lit(True))
-    budgeted = frontier.where(has_budget).withColumn(
-        "_budget", F.greatest(budget, F.lit(1))
+    free = frontier.where(f"NOT ({has_budget})").selectExpr(
+        "*", "true AS _admitted"
+    )
+    budgeted = frontier.where(has_budget).selectExpr(
+        "*",
+        "CAST(greatest(floor(CAST(%s AS DOUBLE) / crawl_delay), 1) AS INT)"
+        " AS _budget" % float(round_seconds),
     )
 
     # phase 1: salted pre-trim — keep ≤ budget rows per (host, salt);
     # superset of the true per-host top-budget, but no single giant task.
-    salted = Window.partitionBy(
-        "host", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    ).orderBy(*_order())
-    pre = budgeted.withColumn("_rs", F.row_number().over(salted))
-    survivors = pre.where(F.col("_rs") <= F.col("_budget")).drop("_rs")
-    pre_deferred = (
-        pre.where(F.col("_rs") > F.col("_budget"))
-        .select(*cols)
-        .withColumn("_admitted", F.lit(False))
+    pre = budgeted.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY host, pmod(url_hash, %d) %s) AS _rs"
+        % (salt_buckets, order_sql),
+    )
+    survivors = pre.where("_rs <= _budget").drop("_rs")
+    pre_deferred = pre.where("_rs > _budget").selectExpr(
+        *cols, "false AS _admitted"
     )
 
     # phase 2: exact per-host rank on ≤ salt_buckets×budget rows per host.
-    exact = Window.partitionBy("host").orderBy(*_order())
-    ranked = (
-        survivors.withColumn("_rn", F.row_number().over(exact))
-        .withColumn("_admitted", F.col("_rn") <= F.col("_budget"))
-        .select(*cols, "_admitted")
-    )
+    ranked = survivors.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY host %s) AS _rn" % order_sql,
+    ).selectExpr(*cols, "_rn <= _budget AS _admitted")
     return free.unionByName(ranked).unionByName(pre_deferred)
 
 

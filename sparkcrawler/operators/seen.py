@@ -53,6 +53,7 @@ class PartitionedBloom:
         self.k = k
         self.bitmaps = np.zeros((num_shards, bits_per_shard // 8), dtype=np.uint8)
         self.n_added = 0
+        self._bc = None  # last bitmap broadcast (reclaimed on refresh)
 
     # ------------------------------------------------------------- build --
 
@@ -107,7 +108,13 @@ class PartitionedBloom:
 
     def maybe_seen_udf(self, spark: SparkSession):
         """Pandas UDF: True iff the hash MIGHT be in the seen set."""
+        # reclaim the previous round's bitmap broadcast (its actions are
+        # complete once the next round plans) — a long crawl must not
+        # accrete one bitmap-array broadcast per round
+        if self._bc is not None:
+            self._bc.unpersist(blocking=False)
         bc = spark.sparkContext.broadcast(self.bitmaps)
+        self._bc = bc
         P, m, k = self.num_shards, self.bits_per_shard, self.k
 
         @F.pandas_udf(BooleanType())

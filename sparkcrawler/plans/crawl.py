@@ -155,6 +155,13 @@ def _committed_dirs(fs: LocalFS, out_dir: str, table: str, up_to: int) -> list[s
     return paths
 
 
+def _read_frontier(spark: SparkSession, *paths: str) -> DataFrame:
+    """Frontier-snapshot read with the EXPLICIT on-disk schema — skips
+    the per-call footer schema inference (a driver round-trip per round
+    that never shrinks with cores)."""
+    return spark.read.schema(schemas.FRONTIER_SNAPSHOT_SCHEMA).parquet(*paths)
+
+
 # ----------------------------------------------------------- seed frontier --
 
 
@@ -507,7 +514,7 @@ def crawl(
         dirs = _committed_dirs(fs, out_dir, "frontier", next_round)
         if dirs:
             bloom.update_from_df(
-                spark.read.parquet(*dirs).where(F.col("is_new"))
+                _read_frontier(spark, *dirs).where(F.col("is_new"))
             )
     elif cfg.use_bloom:
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
@@ -528,8 +535,8 @@ def crawl(
                 bloom.add_hashes(np.asarray(hashes[is_new], dtype=np.int64))
         elif total:
             bloom.update_from_df(
-                spark.read.parquet(
-                    *_committed_dirs(fs, out_dir, "frontier", next_round)
+                _read_frontier(
+                    spark, *_committed_dirs(fs, out_dir, "frontier", next_round)
                 ).where(F.col("is_new"))
             )
 
@@ -558,8 +565,8 @@ def crawl(
     def _seen_new(up_to: int):
         """Seen-set view (is_new frontier rows) over committed rounds —
         executor-side input for hot-filter builds/rebuilds."""
-        return spark.read.parquet(
-            *_committed_dirs(fs, out_dir, "frontier", up_to)
+        return _read_frontier(
+            spark, *_committed_dirs(fs, out_dir, "frontier", up_to)
         ).where(F.col("is_new"))
 
     def _build_host_filter(host: str, up_to: int):
@@ -620,7 +627,7 @@ def crawl(
         frontier_path = fs.join(out_dir, "frontier", f"r{r}")
         if not fs.exists(frontier_path):
             break
-        frontier = spark.read.parquet(frontier_path)
+        frontier = _read_frontier(spark, frontier_path)
         if frontier_count is None:
             frontier_count = frontier.count()
         if frontier_count == 0:
@@ -696,8 +703,8 @@ def crawl(
         # re-runs; the `is_new` tag makes the written frontier double as
         # the seen-set delta (no separate seen write — the seen table IS
         # the union of is_new rows across committed frontier snapshots).
-        seen_all = spark.read.parquet(
-            *_committed_dirs(fs, out_dir, "frontier", r)
+        seen_all = _read_frontier(
+            spark, *_committed_dirs(fs, out_dir, "frontier", r)
         ).where(F.col("is_new"))
         discovered = discovered_links(plan.extracted)
         seen_uncovered = (
@@ -758,7 +765,7 @@ def crawl(
             ]
             if isinstance(bloom, DistributedBloom):
                 bloom.update_from_df(
-                    spark.read.parquet(*uncovered_dirs).where(F.col("is_new")),
+                    _read_frontier(spark, *uncovered_dirs).where(F.col("is_new")),
                     n_rows=None if bloom_covered < r else n_new,
                 )
             elif (
@@ -785,7 +792,7 @@ def crawl(
                 # huge delta → distributed build over the written files;
                 # the driver never saw the hash column (new_hashes=None)
                 bloom.update_from_df(
-                    spark.read.parquet(*uncovered_dirs).where(F.col("is_new"))
+                    _read_frontier(spark, *uncovered_dirs).where(F.col("is_new"))
                 )
             bloom_covered = r + 1
 
@@ -830,8 +837,8 @@ def crawl(
                     DistributedHotHostFilter,
                 )
 
-                new_df = spark.read.parquet(
-                    fs.join(out_dir, "frontier", f"r{r + 1}")
+                new_df = _read_frontier(
+                    spark, fs.join(out_dir, "frontier", f"r{r + 1}")
                 ).where(F.col("is_new"))
                 for row in (
                     new_df.groupBy("host")

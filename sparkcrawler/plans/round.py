@@ -27,6 +27,28 @@ from sparkcrawler.operators.robots import apply_robots_gate
 
 FRONTIER_COLS = ["url", "url_hash", "host", "depth", "priority", "round", "attempt"]
 
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL string literal (escaped) — lets hot-path plans ship
+    ONE expr string instead of one py4j round-trip per literal (a
+    4096-URL ``Column.isin`` costs ~1s of driver latency PER ROUND in
+    gateway chatter; the equivalent ``IN (...)`` string parses JVM-side
+    in one call)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_UDF_SESSIONS: set[int] = set()
+
+
+def _ensure_extract_registered(spark) -> None:
+    """Register the Arrow extract UDF for SQL-string plans (once per
+    session; registration is what lets the whole extract+filter stage be
+    one selectExpr parse instead of dozens of gateway calls)."""
+    key = id(spark)
+    if key not in _UDF_SESSIONS:
+        spark.udf.register("sc_extract_page", extract_page_udf)
+        _UDF_SESSIONS.add(key)
+
 # On a 429, the reference sleeps 10s and multiplies its poll interval by
 # 1.5 (reference main.py:80-84). The distributed analog: a host that
 # emitted >=1 429 in k rounds gets effective crawl_delay
@@ -151,12 +173,18 @@ def build_round(
     # directories — late, small rounds stop paying for full corpus scans.
     corpus = pages
     if frontier_buckets is not None and "url_bucket" in pages.columns:
-        corpus = corpus.where(F.col("url_bucket").isin(frontier_buckets))
+        corpus = corpus.where(F.expr(
+            "url_bucket IN (%s)"
+            % ",".join(str(int(b)) for b in frontier_buckets)
+        ))
     if frontier_urls is not None:
         # IN-list pushdown: bucket pruning on a bucketed corpus table
         # plus parquet row-group min/max skipping (buckets are sorted by
-        # url), so a tail round reads a sliver of the corpus.
-        corpus = corpus.where(F.col("url").isin(frontier_urls))
+        # url), so a tail round reads a sliver of the corpus. One expr
+        # string, not Column.isin — see _sql_str.
+        corpus = corpus.where(F.expr(
+            "url IN (%s)" % ",".join(_sql_str(u) for u in frontier_urls)
+        ))
     # optional status_code column (a WARC-derived corpus carries the
     # HTTP status): 200/NULL = fetched, 429 = rate-limited (backoff +
     # bounded retry), anything else = terminal error with that code.
@@ -182,19 +210,13 @@ def build_round(
     # different explicit port are cross-host, matching the reference's
     # raw-netloc comparison (canonicalization already strips default
     # ports, so the common case is unchanged).
+    _ensure_extract_registered(pages.sparkSession)
     extracted = (
-        ok.withColumn("_page", extract_page_udf(F.col("url"), F.col("html")))
-        .withColumn(
-            "links",
-            F.filter(
-                F.col("_page.links"),
-                lambda x: F.parse_url(x, F.lit("AUTHORITY")) == F.col("host"),
-            ),
-        )
-        .withColumn("_text_len", F.col("_page.text_len"))
-        .drop("_page", "html")
-        .select(
-            *FRONTIER_COLS, "links", "_text_len",
+        ok.selectExpr("*", "sc_extract_page(url, html) AS _page")
+        .selectExpr(
+            *FRONTIER_COLS,
+            "filter(_page.links, x -> parse_url(x, 'AUTHORITY') = host) AS links",
+            "_page.text_len AS _text_len",
             *(["status_code"] if has_status else []),
         )
     )
@@ -212,32 +234,36 @@ def build_round(
         missing = fetched.where(F.col("html").isNull())
 
     def log_row(df, status, code, with_links: bool):
-        from pyspark.sql import Column
-
-        code = code if isinstance(code, Column) else F.lit(code)
-        links = F.col("links") if with_links else F.lit(None).cast("array<string>")
-        n_links = F.size("links").cast("int") if with_links else F.lit(None).cast("int")
-        text_len = (
-            F.col("_text_len").cast("long")
-            if with_links
-            else F.lit(None).cast("long")
-        )
-        return df.select(
-            F.lit(run_id).alias("run_id"),
+        # one selectExpr parse per branch (the Column-per-field form cost
+        # ~15 gateway round-trips × 6 branches × every round). `code` is
+        # an int literal or a column NAME ("status_code").
+        code_sql = code if isinstance(code, str) else str(int(code))
+        sel = [
+            f"{_sql_str(run_id)} AS run_id",
             # the frontier's own round column (== round_no for every row)
             # keeps the plan literal-free → whole-stage codegen cache hits
             # across rounds instead of a recompile per round
-            F.col("round").cast("int").alias("round"),
+            "CAST(round AS INT) AS round",
             "url",
             "url_hash",
             "host",
-            F.col("depth").cast("int").alias("depth"),
-            F.lit(status).cast("int").alias("crawl_status"),
-            code.cast("int").alias("status_code"),
-            links.alias("links"),
-            n_links.alias("n_links"),
-            text_len.alias("text_len"),
-        )
+            "CAST(depth AS INT) AS depth",
+            f"CAST({int(status)} AS INT) AS crawl_status",
+            f"CAST({code_sql} AS INT) AS status_code",
+        ]
+        if with_links:
+            sel += [
+                "links",
+                "CAST(size(links) AS INT) AS n_links",
+                "CAST(_text_len AS BIGINT) AS text_len",
+            ]
+        else:
+            sel += [
+                "CAST(NULL AS ARRAY<STRING>) AS links",
+                "CAST(NULL AS INT) AS n_links",
+                "CAST(NULL AS BIGINT) AS text_len",
+            ]
+        return df.selectExpr(*sel)
 
     retryable = missing.where(F.col("attempt") + 1 < F.lit(retries))
     dead = missing.where(F.col("attempt") + 1 >= F.lit(retries))
@@ -266,7 +292,7 @@ def build_round(
             # terminal 429 (retries exhausted) and other HTTP errors
             .unionByName(log_row(rl_dead, schemas.ERROR, 429, False))
             .unionByName(
-                log_row(err_other, schemas.ERROR, F.col("status_code"), False)
+                log_row(err_other, schemas.ERROR, "status_code", False)
             )
             # 429 OBSERVATION rows (non-terminal, crawl_status=FRONTIER):
             # the audit trail the driver's backoff reads; the URL is
@@ -274,22 +300,16 @@ def build_round(
             .unionByName(log_row(rl_retry, schemas.FRONTIER, 429, False))
         )
 
-    next_round = (F.col("round") + 1).cast("int")
-    deferred_out = (
-        deferred.select(*FRONTIER_COLS)
-        .withColumn("round", next_round)
-        .unionByName(
-            retryable.select(*FRONTIER_COLS)
-            .withColumn("round", next_round)
-            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
-        )
+    defer_sel = [
+        "url", "url_hash", "host", "depth", "priority",
+        "CAST(round + 1 AS INT) AS round", "attempt",
+    ]
+    retry_sel = defer_sel[:-1] + ["CAST(attempt + 1 AS INT) AS attempt"]
+    deferred_out = deferred.selectExpr(*defer_sel).unionByName(
+        retryable.selectExpr(*retry_sel)
     )
     if has_status and rl_retry is not None:
-        deferred_out = deferred_out.unionByName(
-            rl_retry.select(*FRONTIER_COLS)
-            .withColumn("round", next_round)
-            .withColumn("attempt", (F.col("attempt") + 1).cast("int"))
-        )
+        deferred_out = deferred_out.unionByName(rl_retry.selectExpr(*retry_sel))
 
     return RoundPlan(
         crawl_log=crawl_log,
@@ -316,19 +336,18 @@ def discovered_links(parsed: DataFrame) -> DataFrame:
         # their links never enter discovery
         st = F.col("status_code")
         parsed = parsed.where(st.isNull() | (st == 200))
-    exploded = (
-        parsed.select(
-            F.explode("links").alias("url"),
-            (F.col("depth") + 1).cast("int").alias("depth"),
-            (F.col("round") + 1).cast("int").alias("round"),
-        )
-        .withColumn("url_hash", F.xxhash64(F.col("url")))
-        .withColumn(
-            "host",
-            F.coalesce(F.parse_url(F.col("url"), F.lit("AUTHORITY")), F.lit("")),
-        )
-        .withColumn("priority", F.lit(1.0))
-        .withColumn("attempt", F.lit(0).cast("int"))
+    exploded = parsed.selectExpr(
+        "explode(links) AS url",
+        "CAST(depth + 1 AS INT) AS depth",
+        "CAST(round + 1 AS INT) AS round",
+    ).selectExpr(
+        "url",
+        "xxhash64(url) AS url_hash",
+        "coalesce(parse_url(url, 'AUTHORITY'), '') AS host",
+        "depth",
+        "CAST(1.0 AS DOUBLE) AS priority",
+        "round",
+        "CAST(0 AS INT) AS attempt",
     )
     # first-writer-wins across pages in the same round: keep one row per
     # url_hash (depth is constant within a round, so any row is the min).

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -52,6 +53,14 @@ FRONTIER_SCHEMA = StructType(
         StructField("round", IntegerType(), False),
         StructField("attempt", IntegerType(), False),
     ]
+)
+
+# On-disk frontier snapshot: FRONTIER_SCHEMA + the is_new seen-set tag.
+# Passed explicitly to every frontier read so the driver loop never pays
+# a per-round schema-inference footer read (fresh StructType — never
+# StructType.add on a shared instance, which mutates it).
+FRONTIER_SNAPSHOT_SCHEMA = StructType(
+    list(FRONTIER_SCHEMA.fields) + [StructField("is_new", BooleanType(), True)]
 )
 
 # URL-seen set: replacement for the Redis `download_requests` SADD set
