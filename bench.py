@@ -157,6 +157,9 @@ HEADLINE = [
     "top3_customers_per_nation",
     "events_sessionized",
     "docs_minhash",
+    "docs_minhash_arrow",
+    "docs_winnow_fp",
+    "docs_winnow_fp_arrow",
     "docs_lsh_buckets",
     "docs_simhash",
     "ann_cosine_topk",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
@@ -1059,6 +1061,96 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Arrow-pass twins: per-doc signatures with NO shuffle. The relational
+# forms above are the cross-engine ORACLE contract (DuckDB must agree
+# bit-for-bit), but they explode per-word / per-gram rows and shuffle
+# ~1-5× the corpus text bytes through a groupBy/window — for work that
+# has no cross-document dependency at all. These twins compute the
+# identical signatures inside ONE mapInPandas pass (hashlib+numpy per
+# Arrow batch, zero movement): the shape a 100-TB run wants. Equality
+# with the relational forms is pinned in tests AND by sharing their
+# DuckDB oracle SQL in the catalog.
+# ---------------------------------------------------------------------------
+
+
+def _md5_mod(strings, cache: dict) -> "np.ndarray":
+    """int(md5(s)[:15 hex], 16) % (2^31-1) per string — the engine-exact
+    hash recipe shared with the relational forms; memoized per batch."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.int64)
+    for i, s in enumerate(strings):
+        v = cache.get(s)
+        if v is None:
+            v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % _MH_MOD
+            cache[s] = v
+        out[i] = v
+    return out
+
+
+def docs_minhash_arrow(spark, sf_dir):
+    """MinHash signatures, Arrow-pass twin of :func:`docs_minhash`: the
+    k=64 permutation minima computed per document in one vectorized
+    numpy step — no explode, no shuffle, signature never leaves the
+    task that read the document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    A = np.array(_MH_A, dtype=np.int64)
+    B = np.array(_MH_B, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            cache: dict = {}
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = {w for w in text.split(" ") if w}
+                if not words:
+                    continue  # relational groupBy has no row either
+                hm = _md5_mod(list(words), cache)
+                g = (hm[:, None] * A[None, :] + B[None, :]) % _MH_MOD
+                ids.append(doc_id)
+                sigs.append("-".join(str(int(v)) for v in g.min(axis=0)))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.mapInPandas(compute, schema="doc_id long, sig string").orderBy(
+        "doc_id"
+    )
+
+
+def docs_winnow_fp_arrow(spark, sf_dir):
+    """Winnowing fingerprints, Arrow-pass twin of :func:`docs_winnow_fp`:
+    gram hashes + the 8-gram sliding-window minima computed per document
+    with a numpy stride trick — where the relational form posexplodes
+    every char 5-gram (~5× the text bytes) through a per-doc window
+    shuffle, this moves nothing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compute(batches):
+        for pdf in batches:
+            cache: dict = {}
+            ids, counts, mins = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text) - 4
+                if n < 8:
+                    continue  # no full 8-gram window → no relational rows
+                grams = [text[i : i + 5] for i in range(n)]
+                h = _md5_mod(grams, cache)
+                wmins = np.lib.stride_tricks.sliding_window_view(h, 8).min(
+                    axis=1
+                )
+                uniq = np.unique(wmins)
+                ids.append(doc_id)
+                counts.append(len(uniq))
+                mins.append(int(uniq[0]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_fingerprints": counts, "min_fp": mins}
+            )
+
+    return docs.mapInPandas(
+        compute, schema="doc_id long, n_fingerprints long, min_fp long"
+    ).orderBy("doc_id")
+
+
 _STOPWORDS = ["the", "a", "join", "group", "order"]
 
 
@@ -1861,6 +1953,10 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_token_stats": QuerySpec(docs_token_stats, TOKENS_SQL),
     "docs_bpe_tokens": QuerySpec(docs_bpe_tokens, BPE_TOKENS_SQL),
     "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
+    # Arrow-pass twins: same results, zero-shuffle mapInPandas plans —
+    # verified against the SAME DuckDB oracles as their relational forms
+    "docs_minhash_arrow": QuerySpec(docs_minhash_arrow, MINHASH_SQL),
+    "docs_winnow_fp_arrow": QuerySpec(docs_winnow_fp_arrow, WINNOW_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),

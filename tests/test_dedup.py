@@ -92,3 +92,22 @@ def test_jaccard_hot_bucket_cap(spark):
     nocap = key(_jaccard_pairs_of(docs, 0.9, max_bucket=10**6))
     assert capped < uncapped  # strict subset: the cap bites
     assert nocap == uncapped
+
+
+def test_arrow_twins_equal_relational(spark):
+    """The zero-shuffle mapInPandas twins must reproduce the relational
+    (oracle-contract) results exactly — same rows, same values."""
+    from sparkcrawler.analytics import (
+        docs_minhash, docs_minhash_arrow,
+        docs_winnow_fp, docs_winnow_fp_arrow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for rel, twin in (
+        (docs_minhash, docs_minhash_arrow),
+        (docs_winnow_fp, docs_winnow_fp_arrow),
+    ):
+        a = sorted(tuple(r) for r in rel(spark, sf).collect())
+        b = sorted(tuple(r) for r in twin(spark, sf).collect())
+        assert a == b
+        assert len(a) > 0
