@@ -24,12 +24,13 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-N_PLANES = 8
+N_PLANES = 8  # default plane count (2^8 buckets); see build_ann_index
 _LCG_A = 1103515245
 _LCG_B = 12345
 _LCG_M = 2147483647
 _CENTER = 1073741823  # ~M/2: weights land in [-center, M-1-center]
 _QUANT = 10_000
+_MANIFEST = "_MANIFEST.json"
 
 
 def _weight_expr(plane: int, dim_col):
@@ -46,18 +47,20 @@ def weight_py(plane: int, d: int) -> int:
     return (_LCG_A * (plane * 64 + d + 1) + _LCG_B) % _LCG_M - _CENTER
 
 
-def bucket_py(vec) -> int:
+def bucket_py(vec, n_planes: int = N_PLANES) -> int:
     """Driver-side bucket of one embedding (numpy mirror of the column)."""
     e = np.floor(np.asarray(vec, dtype=np.float64) * _QUANT).astype(np.int64)
     b = 0
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         w = np.array([weight_py(i, d) for d in range(len(e))], dtype=np.int64)
         if int((e * w).sum()) > 0:
             b |= 1 << i
     return b
 
 
-def with_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_bucket(
+    emb: DataFrame, vec_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
     """Append the ``bucket: int`` LSH column — pure builtins (posexplode
     + integer sums), JVM-side, no Python in the loop. All original
     columns survive (the embedding rides through the aggregation), so
@@ -70,37 +73,90 @@ def with_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     ).withColumn("e_int", F.floor(F.col("val") * _QUANT).cast("long"))
     aggs = [
         F.sum(F.col("e_int") * _weight_expr(i, F.col("d"))).alias(f"dot{i}")
-        for i in range(N_PLANES)
+        for i in range(n_planes)
     ] + [F.first(vec_col).alias(vec_col)]
     dots = exploded.groupBy(*other).agg(*aggs)
     bucket = None
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         term = F.when(F.col(f"dot{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return dots.select(*other, vec_col, bucket.cast("int").alias("bucket"))
 
 
 def build_ann_index(
-    emb: DataFrame, out_path: str, vec_col: str = "embedding"
-) -> None:
+    emb: DataFrame,
+    out_path: str,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> dict:
     """Materialize the LSH index: the embedding table re-written
     PARTITIONED BY bucket (2^n_planes directories). On a cluster this is
-    the one-off indexing job; searches after it scan only probe buckets."""
-    with_bucket(emb, vec_col).write.mode("overwrite").partitionBy(
+    the one-off indexing job; searches after it scan only probe buckets.
+
+    ``n_planes`` sizes the index for the corpus: 8 planes (256 buckets)
+    suits ~10^5-10^6 vectors; at 10^9+ raise it (every +1 plane halves
+    the expected bucket size and the per-probe scan). The written
+    ``_MANIFEST.json`` records n_planes — searches read it back, so a
+    query never needs to know how the index was built — plus per-bucket
+    occupancy from the written files' parquet footers (no extra job):
+    the skew diagnostic that tells an operator when to add planes.
+    Returns the manifest dict."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with_bucket(emb, vec_col, n_planes).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(out_path)
+    occupancy: dict[str, int] = {}
+    for d in sorted(_glob.glob(os.path.join(out_path, "bucket=*"))):
+        b = d.rsplit("=", 1)[-1]
+        occupancy[b] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    counts = sorted(occupancy.values())
+    manifest = {
+        "n_planes": n_planes,
+        "total_rows": sum(counts),
+        "buckets_used": len(counts),
+        "buckets_total": 1 << n_planes,
+        "occupancy": occupancy,
+        "max_bucket": counts[-1] if counts else 0,
+        "median_bucket": counts[len(counts) // 2] if counts else 0,
+    }
+    with open(os.path.join(out_path, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
 
 
-def probe_buckets(qbucket: int, hamming: int = 1) -> list[int]:
-    """Bucket ids within the given Hamming radius of the query bucket."""
+def read_manifest(index_path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(index_path, _MANIFEST)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def probe_buckets(
+    qbucket: int, hamming: int = 1, n_planes: int = N_PLANES
+) -> list[int]:
+    """Multiprobe set: bucket ids within the given Hamming radius of the
+    query bucket (radius is the recall/scan-cost dial; any radius ≥ 0)."""
+    from itertools import combinations
+
     out = {qbucket}
-    if hamming >= 1:
-        for i in range(N_PLANES):
-            out.add(qbucket ^ (1 << i))
-    if hamming >= 2:
-        for i in range(N_PLANES):
-            for j in range(i + 1, N_PLANES):
-                out.add(qbucket ^ (1 << i) ^ (1 << j))
+    for r in range(1, hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            out.add(qbucket ^ flip)
     return sorted(out)
 
 
@@ -109,13 +165,18 @@ def ann_candidates(
     index_path: str,
     query_vec,
     hamming: int = 1,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """The partition-pruned candidate scan of a materialized index: all
     index columns, restricted to the query's probe buckets. The
     ``bucket`` IN-filter hits the partition column → the scan reads
     only |probes| of the 2^n_planes partition directories. Callers
-    re-rank however they like (``ann_search`` is the cosine top-k)."""
-    probes = probe_buckets(bucket_py(query_vec), hamming)
+    re-rank however they like (``ann_search`` is the cosine top-k).
+    ``n_planes`` defaults to the index's own manifest."""
+    if n_planes is None:
+        mf = read_manifest(index_path)
+        n_planes = mf["n_planes"] if mf else N_PLANES
+    probes = probe_buckets(bucket_py(query_vec, n_planes), hamming, n_planes)
     return spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
 
 
@@ -127,9 +188,10 @@ def ann_search(
     hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Top-k cosine within the probe buckets of a materialized index."""
-    idx = ann_candidates(spark, index_path, query_vec, hamming)
+    idx = ann_candidates(spark, index_path, query_vec, hamming, n_planes)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     e = F.col(vec_col).cast("array<double>")
     dot = F.aggregate(

@@ -134,3 +134,79 @@ def test_catalog_ann_query_is_partition_pruned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------- round 4: parameterized planes + manifest ----------
+
+
+@pytest.fixture(scope="module")
+def index12_dir(spark, emb):
+    d = tempfile.mkdtemp(prefix="sc_annidx12_")
+    manifest = build_ann_index(emb, d, n_planes=12)
+    yield d, manifest
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_manifest_records_build_and_occupancy(spark, emb, index12_dir):
+    d, manifest = index12_dir
+    from sparkcrawler.operators.ann import read_manifest
+
+    assert read_manifest(d) == manifest
+    assert manifest["n_planes"] == 12
+    assert manifest["buckets_total"] == 4096
+    assert manifest["total_rows"] == emb.count()
+    assert sum(manifest["occupancy"].values()) == manifest["total_rows"]
+    assert manifest["max_bucket"] >= manifest["median_bucket"] >= 1
+
+
+def test_12_plane_bucket_mirror_and_search(spark, emb, index12_dir):
+    """At 12 planes: Spark bucket == driver mirror, searches read the
+    plane count from the manifest, the scan stays partition-pruned, and
+    the re-rank is exact within the probed buckets."""
+    d, _ = index12_dir
+    rows = with_bucket(emb, n_planes=12).collect()
+    for r in rows[:30]:
+        assert r["bucket"] == bucket_py(r["embedding"], n_planes=12)
+    qv = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    # n_planes NOT passed: ann_search must pick 12 up from the manifest
+    res = ann_search(spark, d, qv, k=10, hamming=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    probes = set(probe_buckets(bucket_py(qv, 12), hamming=1, n_planes=12))
+    assert len(probes) == 13
+    cand = [r for r in rows if r["bucket"] in probes]
+    want = set(_brute_topk(cand, qv, 10))
+    got = {r["vec_id"] for r in res.collect()}
+    assert got == want
+
+
+def test_12_plane_recall_lift(spark, emb, index12_dir):
+    """More planes → smaller scan fraction; recall lift must hold."""
+    d, _ = index12_dir
+    rows = emb.collect()
+    with_b = {r["vec_id"]: r["bucket"] for r in with_bucket(emb, n_planes=12).collect()}
+    n = len(rows)
+    recalls, fracs = [], []
+    for qid in range(5):
+        qv = next(r["embedding"] for r in rows if r["vec_id"] == qid)
+        truth = set(_brute_topk([r for r in rows if r["vec_id"] != qid], qv, 10))
+        got = {
+            r["vec_id"]
+            for r in ann_search(spark, d, qv, k=10, hamming=2).collect()
+            if r["vec_id"] != qid
+        }
+        probes = set(probe_buckets(bucket_py(qv, 12), hamming=2, n_planes=12))
+        fracs.append(sum(1 for b in with_b.values() if b in probes) / n)
+        recalls.append(len(truth & got) / 10)
+    avg_recall = sum(recalls) / len(recalls)
+    avg_frac = sum(fracs) / len(fracs)
+    assert avg_frac < 0.5  # 12 planes actually shrank the scan
+    assert avg_recall >= 1.5 * avg_frac, (recalls, fracs)
+
+
+def test_probe_buckets_radius_3():
+    from math import comb
+
+    assert len(probe_buckets(0, hamming=3, n_planes=12)) == (
+        1 + comb(12, 1) + comb(12, 2) + comb(12, 3)
+    )
