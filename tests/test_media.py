@@ -138,6 +138,83 @@ def test_decode_media_schema_and_determinism(spark):
     assert r0["format"] == "png"
 
 
-def test_real_decode_is_explicitly_stubbed():
+def test_real_decode_stubbed_for_codec_formats():
+    """Formats without a stdlib codec (JPEG/GIF entropy decode) must
+    still refuse a real decode loudly — never approximate silently."""
+    from sparkcrawler.functions.media import gif_bytes
+
+    pdf = pd.DataFrame({"media_id": ["g0"], "blob": [gif_bytes(8, 8)]})
     with pytest.raises(NotImplementedError):
-        next(decode_image_batches(iter([]), real_decode=True))
+        next(decode_image_batches(iter([pdf]), real_decode=True))
+
+
+# --------------------------- round 4: real PNG pixel decode (zlib) -------
+
+
+def test_png_decode_exact_pixels_all_filters():
+    """decode_png_py must invert every scanline filter (0..4) exactly:
+    encode the deterministic pattern with each filter cycling, decode,
+    compare pixel-for-pixel."""
+    import numpy as np
+
+    from sparkcrawler.functions.media import (
+        decode_png_py, png_full_bytes, png_pixels,
+    )
+
+    for channels in (3, 4):
+        for filters in (None, [0], [1], [2], [3], [4], [4, 3, 1]):
+            blob = png_full_bytes(23, 17, channels, seed=5, filters=filters)
+            px = decode_png_py(blob)
+            assert px.shape == (17, 23, channels)
+            assert np.array_equal(px, png_pixels(23, 17, channels, seed=5)), (
+                channels, filters,
+            )
+
+
+def test_png_full_bytes_sniffs_like_a_png():
+    from sparkcrawler.functions.media import png_full_bytes, sniff_media_py
+
+    meta = sniff_media_py(png_full_bytes(40, 30))
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", 40, 30)
+
+
+def test_png_decode_refuses_unsupported_variants():
+    import struct as _s
+
+    from sparkcrawler.functions.media import _PNG_SIG, decode_png_py
+
+    # palette color type (3) → explicit refusal, not garbage pixels
+    ihdr = _s.pack(">II", 4, 4) + bytes([8, 3, 0, 0, 0])
+    blob = _PNG_SIG + _s.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    with pytest.raises(NotImplementedError):
+        decode_png_py(blob)
+    with pytest.raises(ValueError):
+        decode_png_py(b"NOTAPNG")
+
+
+def test_real_decode_pipeline_over_spark(spark):
+    """End-to-end: real_decode=True through mapInPandas on a PNG-only
+    table — features are the average-pool of the true pixels."""
+    import numpy as np
+
+    from sparkcrawler.functions.media import (
+        decode_media, png_full_bytes, png_pixels, _pixel_feature,
+    )
+
+    rows = [
+        {"media_id": f"p{i}", "blob": png_full_bytes(16 + i, 12 + i, 3, seed=i)}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "media_id string, blob binary"
+    ).repartition(3)
+    got = {
+        r["media_id"]: r
+        for r in decode_media(df, real_decode=True).collect()
+    }
+    assert len(got) == 6
+    for i in range(6):
+        feat = _pixel_feature(png_pixels(16 + i, 12 + i, 3, seed=i), 16)
+        want = float(np.sqrt(sum(x * x for x in feat)))
+        assert got[f"p{i}"]["feat_norm"] == pytest.approx(want, abs=1e-12)
+        assert got[f"p{i}"]["format"] == "png"
