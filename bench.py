@@ -17,6 +17,7 @@ Env knobs:
   SPARK_BENCH_PARAS    extra text paragraphs per page (default 60)
   SPARK_BENCH_AQE      "1" re-enables AQE (off by default: faster here)
   SPARK_BENCH_SKIP_QUERIES / SPARK_BENCH_SKIP_CRAWL  set to skip a part
+  SPARK_BENCH_SKIP_VARIANTS  skip the status-corpus / hot-dist crawls
 """
 
 from __future__ import annotations
@@ -36,7 +37,8 @@ def _env_int(name: str, default: int) -> int:
 N_BUCKETS = 64
 
 
-def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 100):
+def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 100,
+                 with_status: bool = False):
     """Generate (or reuse) the bench corpus, hash-partitioned by
     url_bucket (Iceberg-bucket dir layout, one file per bucket): the
     crawl broadcasts the frontier over it and prunes small rounds to the
@@ -55,13 +57,13 @@ def build_corpus(spark, n_pages: int, fanout: int, paras: int, n_hosts: int = 10
 
     cache = (
         f"/tmp/sparkcrawler_bench/corpus_v2_p{n_pages}_f{fanout}_x{paras}"
-        f"_h{n_hosts}_b{N_BUCKETS}"
+        f"_h{n_hosts}_b{N_BUCKETS}" + ("_st" if with_status else "")
     )
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         shutil.rmtree(cache, ignore_errors=True)
         layout, pages = synth_pages_df(
             spark, n_pages, n_hosts, with_sitemaps=False,
-            fanout=fanout, extra_paras=paras,
+            fanout=fanout, extra_paras=paras, with_status_errors=with_status,
         )
         (
             pages.withColumn(
@@ -105,28 +107,39 @@ def bench_control_udf(spark, n_pages: int, fanout: int, paras: int) -> dict:
     }
 
 
-def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
-    from sparkcrawler.plans.crawl import CrawlConfig, crawl
+def _bench_cfg(n_pages: int, **overrides):
+    from sparkcrawler.plans.crawl import CrawlConfig
+
+    base = dict(
+        max_pages=2 * n_pages,
+        round_seconds=1e6,   # politeness window active, budget ample
+        salt_buckets=32,
+        max_rounds=100,
+        corpus_buckets=N_BUCKETS,
+        bloom_update_min_batch=20_000,
+        # measured: broadcasting the frontier beats the bucketed SMJ
+        # at every frontier size on this box (302s vs 175s at 4
+        # cores) — the bucketed+sorted table still pays off via
+        # IN-list bucket pruning + row-group skipping in tail rounds
+        fetch_pushdown_limit=4096,
+    )
+    base.update(overrides)
+    return CrawlConfig(**base)
+
+
+def bench_crawl(spark, n_pages: int, fanout: int, paras: int,
+                with_status: bool = False, **cfg_overrides) -> dict:
+    from sparkcrawler.plans.crawl import crawl
     from sparkcrawler.sources.synth import page_url, robots_df
 
-    layout, pages = build_corpus(spark, n_pages, fanout, paras)
+    layout, pages = build_corpus(
+        spark, n_pages, fanout, paras, with_status=with_status
+    )
     robots = robots_df(spark, layout)
     seeds = [page_url(h, 0) for h in range(layout.n_hosts)]
     out = tempfile.mkdtemp(prefix="sc_bench_crawl_")
     try:
-        cfg = CrawlConfig(
-            max_pages=2 * n_pages,
-            round_seconds=1e6,   # politeness window active, budget ample
-            salt_buckets=32,
-            max_rounds=100,
-            corpus_buckets=N_BUCKETS,
-            bloom_update_min_batch=20_000,
-            # measured: broadcasting the frontier beats the bucketed SMJ
-            # at every frontier size on this box (302s vs 175s at 4
-            # cores) — the bucketed+sorted table still pays off via
-            # IN-list bucket pruning + row-group skipping in tail rounds
-            fetch_pushdown_limit=4096,
-        )
+        cfg = _bench_cfg(n_pages, **cfg_overrides)
         t0 = time.time()
         res = crawl(spark, pages, robots, seeds, out, run_id="bench", config=cfg)
         wall = time.time() - t0
@@ -148,6 +161,41 @@ def bench_crawl(spark, n_pages: int, fanout: int, paras: int) -> dict:
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_crawl_variants(spark, n_pages: int, fanout: int, paras: int) -> dict:
+    """The two scale-feature configurations the default crawl never
+    exercises, benched under load:
+
+    - ``crawl_status``: WARC-status corpus (~4.4% deterministic 429/404
+      rows) with retries=2 — adaptive backoff, 429 re-enqueue, and
+      terminal-HTTP-error paths all active at bench scale.
+    - ``crawl_hotdist``: distributed Bloom + executor-side per-host
+      cuckoo filters (hot_hosts=8) — the 10^10-design-point dedup
+      regime; round_stats carry hot_active/hot_mode per round.
+    """
+    out = {}
+    st = bench_crawl(
+        spark, n_pages, fanout, paras, with_status=True, retries=2
+    )
+    out["crawl_status"] = {
+        k: st[k]
+        for k in ("crawl_sec", "crawl_visited", "crawl_rounds",
+                  "urls_per_sec", "steady_urls_per_sec", "round_stats")
+    }
+    hd = bench_crawl(
+        spark, n_pages, fanout, paras,
+        bloom_mode="distributed", hot_hosts=8, hot_host_min_new=256,
+    )
+    out["crawl_hotdist"] = {
+        k: hd[k]
+        for k in ("crawl_sec", "crawl_visited", "crawl_rounds",
+                  "urls_per_sec", "steady_urls_per_sec", "round_stats")
+    }
+    out["crawl_hotdist"]["hot_active_final"] = max(
+        (s.get("hot_active", 0) for s in hd["round_stats"]), default=0
+    )
+    return out
 
 
 HEADLINE = [
@@ -233,6 +281,14 @@ def main() -> None:
         result.update(crawl_stats)
         result["queries"]["crawl"] = crawl_stats["crawl_sec"]
         total += crawl_stats["crawl_sec"]
+        if not os.environ.get("SPARK_BENCH_SKIP_VARIANTS"):
+            # scale-feature configurations (status-error corpus with
+            # backoff active; distributed bloom + hot-host cuckoo
+            # shards) — recorded alongside, NOT in the headline total,
+            # so `value` stays comparable across rounds
+            result["crawl_variants"] = bench_crawl_variants(
+                spark, n_pages, fanout, paras
+            )
     if not os.environ.get("SPARK_BENCH_SKIP_QUERIES"):
         q = bench_queries(spark, sf_dir)
         result["queries"].update(q)

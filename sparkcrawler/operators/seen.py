@@ -249,7 +249,17 @@ class DistributedBloom:
             return left.assign(_maybe=hit)
 
         tagged = (
-            candidates.withColumn("_shard", F.pmod(F.col("url_hash"), F.lit(P)))
+            candidates.withColumn(
+                # MUST be int to match the state rows' `shard int`:
+                # cogroup co-partitions each side by the HASH of its own
+                # grouping expression, and hash(3L) != hash(3) — with
+                # mismatched key types most (shard, bitmap) pairs never
+                # meet their candidates, which silently turns into Bloom
+                # false negatives (seen URLs re-admitted). Regression
+                # test: test_seen.py shard-count > partitions case.
+                "_shard",
+                F.pmod(F.col("url_hash"), F.lit(P)).cast("int"),
+            )
             .groupBy("_shard")
             .cogroup(self.bitmaps_df.groupBy("shard"))
             .applyInPandas(check, schema=out_schema)

@@ -168,8 +168,22 @@ def is_rate_limited(h: int, j: int, rate_limit_host: int | None) -> bool:
     return rate_limit_host is not None and h == rate_limit_host and j % 13 == 4
 
 
+def status_of(page_index: int) -> int:
+    """The WARC-status error model (``with_status_errors``): ~2.3% of
+    pages answer 429 and ~2.1% answer 404, deterministically by page
+    index — the 3-5% error band a real WARC-derived corpus shows, so a
+    bench crawl exercises adaptive backoff + terminal HTTP errors under
+    load, not just in small fixtures."""
+    if page_index % 43 == 7:
+        return 429
+    if page_index % 47 == 11:
+        return 404
+    return 200
+
+
 def gen_page_row(
-    page_index: int, layout: CorpusLayout, rate_limit_host: int | None = None
+    page_index: int, layout: CorpusLayout, rate_limit_host: int | None = None,
+    with_status_errors: bool = False,
 ) -> dict:
     url, html = gen_html(page_index, layout)
     html_bytes = html.encode("utf-8")
@@ -180,7 +194,9 @@ def gen_page_row(
         "text": extract_text_py(html_bytes),
         "lang": _LANGS[page_index % len(_LANGS)],
     }
-    if rate_limit_host is not None:
+    if with_status_errors:
+        row["status_code"] = status_of(page_index)
+    elif rate_limit_host is not None:
         h, j = layout.locate(page_index)
         row["status_code"] = 429 if is_rate_limited(h, j, rate_limit_host) else 200
     return row
@@ -314,13 +330,15 @@ def synth_pages_local(
 def synth_pages_df(
     spark, n_pages: int, n_hosts: int = 10, with_sitemaps: bool = True,
     fanout: int = 2, extra_paras: int = 0, with_robots: bool = False,
-    rate_limit_host: int | None = None,
+    rate_limit_host: int | None = None, with_status_errors: bool = False,
 ):
     """Distributed corpus: spark.range → mapInPandas, no driver blowup.
 
     ``rate_limit_host`` adds the optional ``status_code`` column (as a
     real WARC-derived corpus carries) with deterministic 429 rows — the
-    adaptive-backoff exercise. Without it the schema is exactly PAGES.
+    adaptive-backoff exercise. ``with_status_errors`` instead applies
+    the corpus-wide :func:`status_of` model (~4.4% 429/404) for
+    bench-scale runs. Without either the schema is exactly PAGES.
     """
     import pandas as pd
 
@@ -329,8 +347,9 @@ def synth_pages_df(
     from sparkcrawler.schemas import PAGES
 
     layout = CorpusLayout.build(n_pages, n_hosts, fanout, extra_paras)
+    has_status = rate_limit_host is not None or with_status_errors
     schema = PAGES
-    if rate_limit_host is not None:
+    if has_status:
         # fresh StructType — StructType.add would MUTATE the shared
         # PAGES instance and poison every later schema-less corpus
         schema = StructType(
@@ -340,7 +359,8 @@ def synth_pages_df(
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
             rows = [
-                gen_page_row(int(i), layout, rate_limit_host)
+                gen_page_row(int(i), layout, rate_limit_host,
+                             with_status_errors)
                 for i in batch["id"]
             ]
             yield pd.DataFrame(rows)
@@ -355,7 +375,7 @@ def synth_pages_df(
     if with_robots:
         extra_rows.extend(robots_txt_pages(layout))
     if extra_rows:
-        if rate_limit_host is not None:
+        if has_status:
             for r in extra_rows:
                 r.setdefault("status_code", 200)
         df = df.unionByName(spark.createDataFrame(extra_rows, schema))

@@ -116,3 +116,20 @@ def test_distributed_bloom_many_shards(spark):
     db.update_from_df(seen, n_rows=500)
     flags = db.tag_maybe(seen, spark).select("_maybe").collect()
     assert all(r["_maybe"] for r in flags)  # no false negatives
+
+
+def test_distributed_bloom_no_false_negatives_many_shards(spark):
+    """Regression (round 4): cogroup key TYPES must match — a bigint
+    pmod key against the state's int shard key co-partitions each side
+    differently, so most bitmaps never met their candidates and seen
+    URLs came back _maybe=False (false negatives → duplicate crawling).
+    16 shards > shuffle partitions is the configuration that exposed it."""
+    from sparkcrawler.operators.seen import DistributedBloom
+
+    seen = _df(spark, [f"https://h{i % 7}.example/p/{i}" for i in range(500)])
+    db = DistributedBloom(spark, num_shards=16, bits_per_shard=1 << 20)
+    db.update_from_df(seen, n_rows=500)
+    tagged = db.tag_maybe(seen, spark).collect()
+    assert len(tagged) == 500
+    misses = [r["url"] for r in tagged if not r["_maybe"]]
+    assert misses == []  # every seen URL must be maybe-seen
