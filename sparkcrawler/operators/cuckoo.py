@@ -20,12 +20,15 @@ delta); all other hosts fall back to the shared Bloom. Both layers
 only ever SKIP definite-misses, so dedup correctness is unchanged
 (verified against the plain anti-join in tests).
 
-Scale note: filters here are driver-resident and broadcast (the
-sandbox regime, same as PartitionedBloom); at the 10^10 design point
-the same per-host tables live executor-side exactly like
-DistributedBloom's shard bitmaps — the layout is host-keyed rows
-consulted via cogroup, and the code path that routes hot hosts to
-their own table is unchanged.
+Two regimes, matching the Bloom's (plans/crawl.py chooses): small
+rounds under a broadcast Bloom keep the tables driver-resident and
+broadcast (:class:`HotHostSeenFilter`); the 10^10 design point —
+distributed Bloom, or any round too big for a driver fold — runs
+:class:`DistributedHotHostFilter`, where the same per-host tables live
+EXECUTOR-SIDE as host-keyed state rows consulted and updated via
+cogroup, exactly like DistributedBloom's shard bitmaps. A crawl that
+outgrows the driver regime migrates its filters executor-side rather
+than demoting them.
 """
 
 from __future__ import annotations
