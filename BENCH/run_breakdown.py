@@ -51,6 +51,7 @@ def run_bench(cpus: int, pages: int, fanout: int, paras: int) -> dict:
             "SPARK_BENCH_FANOUT": str(fanout),
             "SPARK_BENCH_PARAS": str(paras),
             "SPARK_BENCH_SKIP_QUERIES": "1",
+            "SPARK_BENCH_SKIP_VARIANTS": "1",
             "SPARK_BENCH_CONTROL": "1",
             "SPARK_BENCH_AQE": "0",
             "SPARKCRAWLER_TRACE": "1",
