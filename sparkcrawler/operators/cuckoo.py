@@ -343,12 +343,16 @@ class DistributedHotHostFilter:
              "table": [table], "stash": [stash]}
         )
 
-    def _swap_state(self, new: DataFrame) -> None:
+    def _swap_state(self, new: DataFrame) -> list:
+        """Persist + materialize the new state, drop the old, and return
+        the tiny (host, n_buckets) manifest — ONE action does both the
+        materialization and the saturation check (never the tables)."""
         new = new.persist()
-        new.count()  # materialize before dropping the previous state
+        manifest = new.select("host", "n_buckets").collect()
         if self.tables_df is not None:
             self.tables_df.unpersist()
         self.tables_df = new
+        return manifest
 
     def ensure_hosts(self, hosts, seen_df: DataFrame) -> None:
         """Promote ``hosts`` (build exact filters from ``seen_df`` —
@@ -416,15 +420,10 @@ class DistributedHotHostFilter:
             .cogroup(self.tables_df.groupBy("host"))
             .applyInPandas(merge, schema=_STATE_SCHEMA)
         )
-        self._swap_state(merged)
-        # rare exact rebuild of saturated hosts (tiny manifest collect —
-        # ≤ top-K rows of (host, n_buckets), never a table)
-        saturated = [
-            r["host"]
-            for r in self.tables_df.where(F.col("n_buckets") == 0)
-            .select("host")
-            .collect()
-        ]
+        manifest = self._swap_state(merged)
+        # rare exact rebuild of saturated hosts (from the same tiny
+        # manifest the materialization action already returned)
+        saturated = [r["host"] for r in manifest if r["n_buckets"] == 0]
         if saturated:
             rebuilt = (
                 seen_df.where(F.col("host").isin(saturated))
