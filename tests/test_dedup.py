@@ -111,3 +111,81 @@ def test_arrow_twins_equal_relational(spark):
         b = sorted(tuple(r) for r in twin(spark, sf).collect())
         assert a == b
         assert len(a) > 0
+
+
+# ------------------- round 4: large-star/small-star components ----------
+
+
+def _uf_components(pairs):
+    """Pure-Python union-find oracle → {node: min-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def _run_clusters(spark, pairs, **kw):
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(df, **kw).collect()
+    }
+
+
+def test_star_components_match_union_find_random(spark):
+    import random
+
+    rng = random.Random(17)
+    pairs = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    want = _uf_components(pairs)
+    got_star = _run_clusters(spark, pairs, algorithm="star")
+    got_label = _run_clusters(spark, pairs, algorithm="label")
+    assert got_star == want
+    assert got_label == want
+
+
+def test_star_handles_long_chain_label_raises(spark):
+    """A 300-node chain: diameter 299 > the label algorithm's default
+    100-step budget (it must REFUSE, not return split clusters); the
+    star algorithm converges in O(log n) rounds and labels everything
+    with the chain minimum."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(300)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _run_clusters(spark, chain, algorithm="label")
+    got = _run_clusters(spark, chain, algorithm="star")
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_star_keep_per_cluster_composes(spark):
+    """keep_per_cluster over star-resolved clusters: singletons kept."""
+    from sparkcrawler.operators.dedup import dedup_clusters, keep_per_cluster
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 7)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+    )
+    clusters = dedup_clusters(pairs, algorithm="star")
+    kept = {
+        r["cluster_id"]: (r["keep_doc_id"], r["cluster_size"])
+        for r in keep_per_cluster(docs, clusters).collect()
+    }
+    assert kept == {1: (1, 3), 2: (2, 2), 3: (3, 1)}
