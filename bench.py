@@ -210,6 +210,7 @@ HEADLINE = [
     "docs_winnow_fp_arrow",
     "docs_lsh_buckets",
     "docs_simhash",
+    "docs_simhash_arrow",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embeddings_neardup_topk",

@@ -1151,6 +1151,56 @@ def docs_winnow_fp_arrow(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def docs_simhash_arrow(spark, sf_dir):
+    """64-bit SimHash, Arrow-pass twin of :func:`docs_simhash`: each
+    word's ±1 bit vector is derived once from its md5 nibbles (memoized)
+    and scaled by its occurrence count — one vectorized accumulation per
+    document, no explode and no 64-aggregate shuffle."""
+    import hashlib
+    from collections import Counter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bit_pos = np.arange(4, dtype=np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            cache: dict = {}
+            ids, los, his = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = Counter(w for w in text.split(" ") if w)
+                if not counts:
+                    continue
+                s = np.zeros(64, dtype=np.int64)
+                for w, n in counts.items():
+                    pm = cache.get(w)
+                    if pm is None:
+                        hx = hashlib.md5(w.encode("utf-8")).hexdigest()[:16]
+                        nibs = np.array(
+                            [int(c, 16) for c in hx], dtype=np.int64
+                        )
+                        bits = ((nibs[:, None] >> bit_pos) & 1).reshape(64)
+                        pm = bits * 2 - 1  # ±1 per bit
+                        cache[w] = pm
+                    s += n * pm
+                fp = s > 0
+                lo = int(
+                    (fp[:32].astype(np.int64) << np.arange(32)).sum()
+                )
+                hi = int(
+                    (fp[32:].astype(np.int64) << np.arange(32)).sum()
+                )
+                ids.append(doc_id)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash_lo": los, "simhash_hi": his}
+            )
+
+    return docs.mapInPandas(
+        compute, schema="doc_id long, simhash_lo long, simhash_hi long"
+    ).orderBy("doc_id")
+
+
 _STOPWORDS = ["the", "a", "join", "group", "order"]
 
 
@@ -1957,6 +2007,7 @@ CATALOG: dict[str, QuerySpec] = {
     # verified against the SAME DuckDB oracles as their relational forms
     "docs_minhash_arrow": QuerySpec(docs_minhash_arrow, MINHASH_SQL),
     "docs_winnow_fp_arrow": QuerySpec(docs_winnow_fp_arrow, WINNOW_SQL),
+    "docs_simhash_arrow": QuerySpec(docs_simhash_arrow, SIMHASH_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),

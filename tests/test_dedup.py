@@ -99,6 +99,7 @@ def test_arrow_twins_equal_relational(spark):
     (oracle-contract) results exactly — same rows, same values."""
     from sparkcrawler.analytics import (
         docs_minhash, docs_minhash_arrow,
+        docs_simhash, docs_simhash_arrow,
         docs_winnow_fp, docs_winnow_fp_arrow,
     )
 
@@ -106,6 +107,7 @@ def test_arrow_twins_equal_relational(spark):
     for rel, twin in (
         (docs_minhash, docs_minhash_arrow),
         (docs_winnow_fp, docs_winnow_fp_arrow),
+        (docs_simhash, docs_simhash_arrow),
     ):
         a = sorted(tuple(r) for r in rel(spark, sf).collect())
         b = sorted(tuple(r) for r in twin(spark, sf).collect())
