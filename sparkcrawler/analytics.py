@@ -1889,6 +1889,80 @@ ORDER BY l.url
 """
 
 
+def crawl_corpus_kept(spark, sf_dir):
+    """The crawl→training-corpus pipeline composed end-to-end: PARSED
+    pages of the committed demo crawl, joined back to their text,
+    exact-deduplicated on the text hash (first URL wins — the crawl's
+    SADD semantics applied at corpus level), quality-scored (word
+    count + stopword basis points, all JVM higher-order functions — no
+    shuffle before the dedup window), empty pages dropped. This is the
+    query a 100-TB user runs right after a crawl to emit the clean
+    corpus; stop_bp is floor(10⁴·ratio) so no cross-engine rounding
+    semantics are in play."""
+    from sparkcrawler import schemas
+    from sparkcrawler.plans.crawl import read_crawl_log
+
+    out = _demo_crawl_dir(spark)
+    corpus = spark.read.parquet(_DEMO_CORPUS)
+    log = read_crawl_log(spark, out).where(
+        F.col("crawl_status") == schemas.PARSED
+    )
+    stop_list = ",".join(f"'{w}'" for w in _STOPWORDS)
+    feat = (
+        log.join(corpus.select("url", "text"), "url", "left")
+        .selectExpr(
+            "url",
+            "depth",
+            "md5(CAST(coalesce(text, '') AS BINARY)) AS text_md5",
+            "size(filter(split(coalesce(text, ''), ' '), x -> x != ''))"
+            " AS n_words",
+            f"size(filter(split(coalesce(text, ''), ' '),"
+            f" x -> x IN ({stop_list}))) AS n_stop",
+        )
+        .where(F.col("n_words") > 0)
+    )
+    w = Window.partitionBy("text_md5").orderBy("url")
+    return (
+        feat.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "url",
+            "depth",
+            "text_md5",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.floor(F.lit(10000.0) * F.col("n_stop") / F.col("n_words"))
+            .cast("long")
+            .alias("stop_bp"),
+        )
+        .orderBy("url")
+    )
+
+
+CORPUS_KEPT_SQL = f"""
+WITH parsed AS (
+  SELECT l.url, l.depth, coalesce(c.text, '') AS text
+  FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet') l
+  LEFT JOIN read_parquet('{_DEMO_CORPUS}/*.parquet') c ON l.url = c.url
+  WHERE l.crawl_status = 2
+),
+feat AS (
+  SELECT url, depth, md5(text) AS text_md5,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','a','join','group','order'], x)))
+           AS n_stop
+  FROM parsed
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY text_md5 ORDER BY url) AS rn
+  FROM feat WHERE n_words > 0
+)
+SELECT url, depth, text_md5, CAST(n_words AS BIGINT) AS n_words,
+       CAST(floor(10000.0 * n_stop / n_words) AS BIGINT) AS stop_bp
+FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+
 def _outdegree_expected_dir() -> str:
     """Materialize the EXPECTED out-degree histogram, computed entirely
     by the pure-Python extractor (``extract_links_py`` — the same code
@@ -2021,6 +2095,8 @@ CATALOG: dict[str, QuerySpec] = {
     "crawl_visits_by_depth": QuerySpec(crawl_visits_by_depth, VISITS_SQL),
     "crawl_lineage_by_round": QuerySpec(crawl_lineage_by_round, LINEAGE_SQL),
     "crawl_pages_text": QuerySpec(crawl_pages_text, PAGES_TEXT_SQL),
+    # the composed crawl→training-corpus emit (dedup + quality gate)
+    "crawl_corpus_kept": QuerySpec(crawl_corpus_kept, CORPUS_KEPT_SQL),
     # link extraction differential: Spark Arrow-UDF histogram vs the
     # pure-Python extractor's histogram materialized to parquet
     "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, OUTDEG_SQL),
