@@ -296,8 +296,42 @@ def main() -> None:
         total += sum(q.values())
     result["value"] = round(total, 2)
 
-    print(json.dumps(result))
+    # Full detail (incl. per-round round_stats for the default crawl and
+    # every variant) goes to a side file; the stdout line must stay small
+    # enough to survive the driver's tail capture (round 4's line
+    # overflowed it and the committed BENCH_r04.json was unparseable).
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "last_run.json")
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        with open(side, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+
+    print(json.dumps(_slim(result)))
     sys.stdout.flush()
+
+
+def _slim(result: dict) -> dict:
+    """Stdout copy of the bench result: headline fields first, per-round
+    ``round_stats`` replaced by a compact per-round wall list."""
+
+    def summarize(stats):
+        return [round(s["wall"], 2) for s in stats]
+
+    out = {k: result[k] for k in
+           ("metric", "value", "unit", "sf", "cpus", "queries")
+           if k in result}
+    for k, v in result.items():
+        if k in out or k == "crawl_variants":
+            continue
+        out[k] = summarize(v) if k == "round_stats" else v
+    for name, var in result.get("crawl_variants", {}).items():
+        slim_var = {k: v for k, v in var.items() if k != "round_stats"}
+        slim_var["round_walls"] = summarize(var.get("round_stats", []))
+        out.setdefault("crawl_variants", {})[name] = slim_var
+    return out
 
 
 if __name__ == "__main__":
