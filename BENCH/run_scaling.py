@@ -20,12 +20,39 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 PAIRS = [(2, 8), (4, 16)]
 TRIALS = 3
+
+# Idle gate: every committed scaling number before round 5 was taken in
+# a load-3+ window (the box is shared) and the headline moved ±0.05
+# run-to-run from noise alone. Refuse to start a trial until the 1-min
+# load is below the gate, and record the reading as evidence.
+LOAD_GATE = float(os.environ.get("SPARK_LOAD_GATE", "1.0"))
+LOAD_LOG: list[dict] = []
+
+
+def wait_idle(tag: str) -> None:
+    waited = 0
+    while True:
+        load1, load5, _ = os.getloadavg()
+        if load1 < LOAD_GATE:
+            break
+        print(
+            f"[gate] {tag}: load {load1:.2f} >= {LOAD_GATE}, waiting "
+            f"(total {waited}s)", file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+    LOAD_LOG.append(
+        {"trial": tag, "load1_at_start": round(load1, 2),
+         "load5_at_start": round(load5, 2), "waited_sec": waited}
+    )
+    print(f"[gate] {tag}: load {load1:.2f} — go", file=sys.stderr)
 
 
 def run_bench(cpus: int, pages: int, fanout: int, paras: int) -> dict:
@@ -64,6 +91,7 @@ def main() -> None:
     best: dict[int, dict] = {}
     for t in range(TRIALS):
         for cpus in levels:
+            wait_idle(f"t{t + 1}-local[{cpus}]")
             r = run_bench(cpus, pages, fanout, paras)
             b = best.setdefault(cpus, r)
             if r["crawl_sec"] < b["crawl_sec"]:
@@ -110,7 +138,11 @@ def main() -> None:
         **{k: v for k, v in pair_stats[-1].items() if k != "pair"},
     }
     with open(os.path.join(HERE, "scaling.json"), "w") as fh:
-        json.dump({"summary": summary, "levels": best}, fh, indent=2)
+        json.dump(
+            {"summary": summary, "levels": best,
+             "idle_gate": {"load_gate": LOAD_GATE, "trials": LOAD_LOG}},
+            fh, indent=2,
+        )
 
     rows = "\n".join(
         f"| {p['pair']} | {p['localN_sec']} → {p['local4N_sec']} "
@@ -165,7 +197,10 @@ single-node while adding dedup, politeness enforcement + 429 backoff,
 lineage, and resume.
 
 Reproduce: `python BENCH/run_scaling.py` (idle box required — any
-concurrent load corrupts the comparison).
+concurrent load corrupts the comparison). Round 5 on: every trial is
+**idle-gated** — it starts only once the 1-min load average is below
+{LOAD_GATE} (spin-wait), and the per-trial load readings are committed
+in `scaling.json` under `idle_gate` as evidence the window was clean.
 """
     with open(os.path.join(HERE, "BASELINE.md"), "w") as fh:
         fh.write(md)

@@ -1792,7 +1792,11 @@ def _demo_crawl_dir(spark) -> str:
 
         layout, pages = synth_pages_df(spark, 150, 5)
         pages = pages.persist()
-        tmp = tempfile.mkdtemp(prefix="sc_demo_build_")
+        # build on the destination filesystem: a cross-device TMPDIR
+        # would make the publish rename fail with EXDEV and silently
+        # discard the fresh crawl (same discipline as _ann_index_dir)
+        os.makedirs(_DEMO_ROOT, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="sc_demo_build_", dir=_DEMO_ROOT)
         crawl(
             spark, pages, robots_df(spark, layout), [page_url(0, 0)],
             os.path.join(tmp, "crawl"), run_id="demo",
@@ -1804,10 +1808,11 @@ def _demo_crawl_dir(spark) -> str:
         pages.unpersist()
         with open(os.path.join(tmp, "_READY"), "w") as fh:
             fh.write("ok")  # marker travels inside the atomic rename
-        os.makedirs(os.path.dirname(DEMO_DIR), exist_ok=True)
         try:
             os.rename(tmp, DEMO_DIR)
         except OSError:
+            if not os.path.exists(ready):
+                raise  # not a lost race — surface the real error
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
     return _DEMO_CRAWL
 
@@ -1993,7 +1998,8 @@ def _outdegree_expected_dir() -> str:
                 if urlparse(link).hostname == host
             )
             hist[deg] = hist.get(deg, 0) + 1
-        tmp = tempfile.mkdtemp(prefix="sc_outdeg_build_")
+        os.makedirs(_DEMO_ROOT, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="sc_outdeg_build_", dir=_DEMO_ROOT)
         pq.write_table(
             pa.table(
                 {
@@ -2007,10 +2013,11 @@ def _outdegree_expected_dir() -> str:
         )
         with open(os.path.join(tmp, "_READY"), "w") as fh:
             fh.write("ok")
-        os.makedirs(_DEMO_ROOT, exist_ok=True)
         try:
             os.rename(tmp, _OUTDEG_DIR)
         except OSError:
+            if not os.path.exists(ready):
+                raise  # not a lost race — surface the real error
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
     return _OUTDEG_DIR
 
