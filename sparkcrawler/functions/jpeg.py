@@ -1,0 +1,554 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — no external image libraries.
+
+The decode side (:func:`decode_jpeg_py`) is the REAL thing for the
+envelope it claims: baseline sequential DCT (SOF0), 8-bit samples,
+1-component grayscale or 3-component YCbCr with no chroma subsampling
+(all sampling factors 1×1), single interleaved scan, no restart
+intervals. Everything outside that envelope — progressive (SOF2),
+arithmetic coding, 4:2:0/4:2:2 subsampling, restart markers, 12-bit —
+raises ``NotImplementedError`` loudly: the decode is real or refused,
+never approximated (same discipline as the PNG path in
+:mod:`sparkcrawler.functions.media`).
+
+The encode side (:func:`encode_jpeg_py`) exists as the test oracle: it
+emits a complete valid baseline JFIF stream (DQT + SOF0 + DHT + SOS +
+entropy data with byte stuffing + EOI) for the same envelope, and
+:func:`encode_jpeg_with_expected` additionally returns the
+mathematically expected reconstruction (dequantize + IDCT + level shift
++ color transform of the exact coefficients it quantized), so tests pin
+the decoder's output EXACT-PIXEL against an independent computation of
+what those bytes mean — JPEG is lossy, but decode(encode(x)) is
+deterministic.
+
+Reference behavior anchor: the reference crawler stores media blobs as
+opaque bytes and never decodes them (simple_crawler has no image code
+path at all); this module is part of the training-data-pipeline
+extension (SURVEY.md multimodal columns), giving the mapInPandas decode
+stage a second real codec beside PNG.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables --
+
+ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex-K luminance/chrominance quantization tables (quality 50 base).
+QTABLE_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QTABLE_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+
+def scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (1-100) of an Annex-K base table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _dct_basis() -> np.ndarray:
+    """M[u, x] = c(u)/2 · cos((2x+1)uπ/16): F = M f Mᵀ, f = Mᵀ F M."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_M = _dct_basis()
+
+
+def _idct_block(coeffs: np.ndarray) -> np.ndarray:
+    """8×8 dequantized coefficients → spatial samples (float64)."""
+    return _M.T @ coeffs.astype(np.float64) @ _M
+
+
+# -------------------------------------------------------------- huffman --
+
+
+class _CanonicalHuffman:
+    """Canonical Huffman table from a DHT (bits, huffval) spec — exactly
+    the construction of ITU T.81 Annex C."""
+
+    def __init__(self, bits: list[int], huffval: list[int]):
+        assert len(bits) == 16
+        self.lookup: dict[tuple[int, int], int] = {}
+        self.encode: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = huffval[k]
+                self.lookup[(length, code)] = sym
+                self.encode[sym] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted mid-symbol")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _CanonicalHuffman) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG entropy data")
+
+
+def _extend(v: int, size: int) -> int:
+    """DIFF/AC value extension (T.81 F.2.2.1): ``size``-bit magnitude
+    bits → signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --------------------------------------------------------------- decoder --
+
+
+def decode_jpeg_py(blob: bytes) -> np.ndarray:
+    """Decode a baseline JFIF blob to an (h, w) uint8 array (grayscale)
+    or (h, w, 3) uint8 RGB array. See the module docstring for the
+    envelope; anything outside it raises ``NotImplementedError``,
+    malformed bytes raise ``ValueError``."""
+    b = bytes(blob)
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _CanonicalHuffman] = {}
+    ac_tables: dict[int, _CanonicalHuffman] = {}
+    frame = None        # (height, width, [(cid, qid)])
+    scan = None         # [(cid, dc_id, ac_id)]
+    entropy = None
+
+    i = 2
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < len(b) and b[i] == 0xFF:
+            i += 1
+        marker = b[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack(">H", b[i : i + 2])
+        seg = b[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtables[tq] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                huffval = list(seg[p + 17 : p + 17 + n])
+                table = _CanonicalHuffman(bits, huffval)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG samples")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (sampling factors != 1x1) — only "
+                        "4:4:4 / grayscale baseline is implemented"
+                    )
+                comps.append((cid, qid))
+            frame = (height, width, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}: progressive/"
+                "extended/arithmetic) — only SOF0 baseline is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri != 0:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                dc_id, ac_id = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
+                scan.append((cid, dc_id, ac_id))
+            # entropy data runs to the next real marker (un-stuff FF00)
+            p = i + seglen
+            raw = bytearray()
+            while p < len(b) - 1:
+                if b[p] == 0xFF:
+                    if b[p + 1] == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= b[p + 1] <= 0xD7:
+                        raise NotImplementedError("JPEG restart markers")
+                    break
+                raw.append(b[p])
+                p += 1
+            entropy = bytes(raw)
+            i = p
+            continue
+        i += seglen
+
+    if frame is None or scan is None or entropy is None:
+        raise ValueError("JPEG missing SOF0/SOS/entropy data")
+    height, width, comps = frame
+    qid_of = dict(comps)
+    ncomp = len(comps)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+
+    reader = _BitReader(entropy)
+    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
+    pred = {cid: 0 for cid, _ in comps}
+    for by in range(bh):
+        for bx in range(bw):
+            for cid, dc_id, ac_id in scan:
+                zz = np.zeros(64, dtype=np.int64)
+                t = reader.decode_symbol(dc_tables[dc_id])
+                diff = _extend(reader.read_bits(t), t)
+                pred[cid] += diff
+                zz[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_symbol(ac_tables[ac_id])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.read_bits(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[ZIGZAG] = zz
+                coeffs = block.reshape(8, 8) * qtables[qid_of[cid]]
+                planes[cid][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = _idct_block(coeffs) + 128.0
+
+    cropped = [planes[cid][:height, :width] for cid, _ in comps]
+    if ncomp == 1:
+        return np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(np.stack(cropped, axis=-1))
+
+
+# --------------------------------------------------------------- encoder --
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF color transform (float64 in, float64 out, NOT rounded — the
+    encoder rounds once when it level-shifts into blocks)."""
+    r, g, b = (rgb[..., 0].astype(np.float64),
+               rgb[..., 1].astype(np.float64),
+               rgb[..., 2].astype(np.float64))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF inverse color transform → rounded, clamped uint8 RGB."""
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _size_of(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s (T.81)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _flat_tables():
+    """Valid (deliberately simple) canonical Huffman specs: all 12 DC
+    size categories at 4 bits; every (run, size) AC symbol plus EOB and
+    ZRL at 9 bits. Suboptimal compression, fully valid JPEG — the
+    decoder reads whatever DHT declares."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # twelve 4-bit codes (12 <= 2^4 - 1, all-ones unused)
+    dc_vals = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)  # 162 nine-bit codes (<= 2^9 - 1)
+    return (dc_bits, dc_vals), (ac_bits, ac_syms)
+
+
+def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    zz = table.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+
+
+def encode_jpeg_with_expected(
+    img: np.ndarray, quality: int = 75
+) -> tuple[bytes, np.ndarray]:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
+    baseline JFIF 4:4:4 and return ``(blob, expected)`` where
+    ``expected`` is the exact uint8 image those bytes decode to
+    (dequantize + IDCT of the very coefficients that were written,
+    cropped, color-transformed, rounded, clamped)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = scaled_qtable(QTABLE_LUMA, quality)
+    qc = scaled_qtable(QTABLE_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids, qtabs = [0], {0: qy}
+    else:
+        ycc = rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qids, qtabs = [0, 1, 1], {0: qy, 1: qc}
+
+    per_comp = []
+    recon_planes = []
+    for plane, qid in zip(planes, qids):
+        blocks, recon = _encode_plane_zigzag(plane, qtabs[qid])
+        per_comp.append(blocks)
+        recon_planes.append(recon[:h, :w])
+
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _flat_tables()
+    dc_table = _CanonicalHuffman(dc_bits, dc_vals)
+    ac_table = _CanonicalHuffman(ac_bits, ac_vals)
+
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    nblocks = len(per_comp[0])
+    for bi in range(nblocks):
+        for ci in range(len(planes)):
+            zz = per_comp[ci][bi]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            t = _size_of(diff)
+            length, code = dc_table.encode[t]
+            writer.write(code, length)
+            if t:
+                writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            # AC coefficients with run-length coding
+            k = 1
+            run = 0
+            while k < 64:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        length, code = ac_table.encode[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = _size_of(v)
+                    length, code = ac_table.encode[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if run:
+                length, code = ac_table.encode[0x00]  # EOB
+                writer.write(code, length)
+    entropy = writer.flush()
+
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, qids[cid]]) for cid in range(ncomp)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + sof_comps
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * ncomp)
+        + bytes([ncomp])
+        + sos_comps
+        + b"\x00\x3f\x00"
+    )
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    blob = (
+        b"\xff\xd8" + app0
+        + _dqt_segment(0, qy)
+        + (b"" if gray else _dqt_segment(1, qc))
+        + sof0
+        + _dht_segment(0, 0, dc_bits, dc_vals)
+        + _dht_segment(1, 0, ac_bits, ac_vals)
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+    if gray:
+        expected = np.clip(np.round(recon_planes[0]), 0, 255).astype(np.uint8)
+    else:
+        expected = ycbcr_to_rgb(np.stack(recon_planes, axis=-1))
+    return blob, expected
+
+
+def _encode_plane_zigzag(
+    plane: np.ndarray, q: np.ndarray
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Blocks of ZIGZAG-ordered quantized coefficients + the expected
+    reconstruction for one component plane."""
+    h, w = plane.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8))
+    padded[:h, :w] = plane
+    if w < bw * 8:
+        padded[:h, w:] = padded[:h, w - 1 : w]
+    if h < bh * 8:
+        padded[h:, :] = padded[h - 1 : h, :]
+    blocks = []
+    recon = np.zeros_like(padded)
+    for by in range(bh):
+        for bx in range(bw):
+            f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = _M @ f @ _M.T
+            quant = np.round(coeffs / q).astype(np.int64)
+            blocks.append(quant.reshape(-1)[ZIGZAG])
+            recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _idct_block(quant * q) + 128.0
+            )
+    return blocks, recon
+
+
+def encode_jpeg_py(img: np.ndarray, quality: int = 75) -> bytes:
+    blob, _ = encode_jpeg_with_expected(img, quality)
+    return blob

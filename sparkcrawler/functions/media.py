@@ -254,25 +254,34 @@ def decode_image_batches(
     (media_id, blob) columns.
 
     ``real_decode=True`` runs the REAL pixel path for PNG blobs
-    (:func:`decode_png_py`: stdlib-zlib inflate + unfilter, then the
-    average-pool feature) and still raises ``NotImplementedError`` for
-    formats whose codecs this environment lacks (JPEG/GIF entropy
-    decode). ``real_decode=False`` keeps the deterministic checksum
-    stand-in for every format, so the pipeline shape is exercisable on
-    any blob."""
+    (:func:`decode_png_py`: stdlib-zlib inflate + unfilter) and for
+    baseline JPEG blobs (:func:`sparkcrawler.functions.jpeg
+    .decode_jpeg_py`: pure-numpy Huffman + dequant + IDCT + YCbCr→RGB),
+    then the average-pool feature; it still raises
+    ``NotImplementedError`` for formats whose codecs this environment
+    lacks (GIF LZW, progressive/subsampled JPEG variants).
+    ``real_decode=False`` keeps the deterministic checksum stand-in for
+    every format, so the pipeline shape is exercisable on any blob."""
     for pdf in it:
         rows = []
         for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
             b = bytes(blob) if blob is not None else b""
             fmt = sniff_media_py(b)["format"]
             if real_decode:
-                if fmt != "png":
+                if fmt == "png":
+                    px = decode_png_py(b)
+                elif fmt == "jpeg":
+                    from sparkcrawler.functions.jpeg import decode_jpeg_py
+
+                    px = decode_jpeg_py(b)
+                else:
                     raise NotImplementedError(
                         f"real pixel decode for {fmt!r} requires an image "
                         "codec (PIL/opencv) — not available in this "
-                        "environment; only the stdlib PNG path is real"
+                        "environment; only the stdlib PNG and baseline "
+                        "JPEG paths are real"
                     )
-                feat = _pixel_feature(decode_png_py(b), dim)
+                feat = _pixel_feature(px, dim)
             else:
                 feat = _fake_feature(b, dim)
             norm = sum(x * x for x in feat) ** 0.5
