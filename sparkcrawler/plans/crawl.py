@@ -358,9 +358,17 @@ def _write_lineage_rows(fs, out_dir, run_id, r, stats: dict) -> None:
 
 def _resume_state(
     fs: LocalFS, out_dir: str, resume_round: int
-) -> tuple[int, dict[str, int], dict[str, int]]:
-    """(visited, backoff_k, host_tally) for a resume — O(rounds) marker
-    reads.
+) -> tuple[int, dict[str, int], dict[str, int], str | None]:
+    """(visited, backoff_k, host_tally, hot_mode) for a resume —
+    O(rounds) marker reads.
+
+    ``hot_mode`` is the hot-filter regime the crawl was in at its last
+    committed round ("driver" / "distributed" / None for pre-hot or
+    hot-disabled markers): a crawl that migrated its per-host filters
+    executor-side must RE-ENTER the distributed regime on resume —
+    rebuilding driver-resident filters would pull every hot host's full
+    url_hash set onto the driver, exactly the memory blowup the
+    migration exists to avoid.
 
     Each committed round's marker carries ``processed`` and
     ``hosts_429`` (a tiny host list), so no committed crawl_log parquet
@@ -386,7 +394,7 @@ def _resume_state(
                 backoff_k[h] = backoff_k.get(h, 0) + 1
             for h, n in mk.get("hot_tally", {}).items():
                 host_tally[h] = host_tally.get(h, 0) + n
-        return visited, backoff_k, host_tally
+        return visited, backoff_k, host_tally, markers[-1].get("hot_mode")
     # legacy markers (pre-hosts_429): recount from the committed log
     visited = 0
     backoff_k = {}
@@ -404,7 +412,7 @@ def _resume_state(
                 )
         for h in round_429_hosts:
             backoff_k[h] = backoff_k.get(h, 0) + 1
-    return visited, backoff_k, {}
+    return visited, backoff_k, {}, None
 
 
 def _check_layout(fs: LocalFS, out_dir: str) -> None:
@@ -466,22 +474,37 @@ def crawl(
     resume_round = _max_committed_round(fs, out_dir)
     if resume_round is None:
         # ---- fresh run: commit the seed snapshot ("init") ----
-        rows = _seed_rows(seed_urls)
-        if extra_frontier is not None:
-            by_hash = {r["url_hash"]: r for r in rows}
-            for er in extra_frontier.select(*FRONTIER_COLS).collect():
-                d = er.asDict()
-                d["is_new"] = True
-                prev = by_hash.get(d["url_hash"])
-                if prev is None or (d["priority"], d["url"]) < (
-                    prev["priority"], prev["url"]
-                ):
-                    by_hash[d["url_hash"]] = d
-            rows = sorted(by_hash.values(), key=lambda r: (r["url_hash"], r["url"]))
-        fs.write_parquet(
-            _frontier0_table(rows), fs.join(out_dir, "frontier", "r0"),
-            "part-0.parquet",
-        )
+        if extra_frontier is None:
+            # seeds only: a tiny driver-side pyarrow write (a Spark job
+            # for a handful of rows costs seconds of scheduling)
+            fs.write_parquet(
+                _frontier0_table(_seed_rows(seed_urls)),
+                fs.join(out_dir, "frontier", "r0"), "part-0.parquet",
+            )
+        else:
+            # sitemap-primed: merge seeds ∪ primed URLs Spark-side — a
+            # union + per-url_hash window keeping the deterministic
+            # (priority, url) winner (the seed's priority 0.0 wins a
+            # tie) — so no frontier row ever reaches the driver, at any
+            # priming size. Written sorted in one partition, matching
+            # the driver path's (url_hash, url) file order bit-for-bit.
+            merged = seed_frontier(spark, seed_urls).unionByName(
+                extra_frontier.select(*FRONTIER_COLS)
+            )
+            (
+                merged.selectExpr(
+                    "*",
+                    "row_number() OVER (PARTITION BY url_hash "
+                    "ORDER BY priority, url) AS _rn",
+                )
+                .where("_rn = 1")
+                .drop("_rn")
+                .selectExpr("*", "true AS is_new")
+                .repartition(1)
+                .sortWithinPartitions("url_hash", "url")
+                .write.mode("overwrite")
+                .parquet(fs.join(out_dir, "frontier", "r0"))
+            )
         _append_run_event(
             fs, out_dir, run_id,
             seed_urls[0] if seed_urls else None, cfg.max_pages, "start_run",
@@ -490,13 +513,16 @@ def crawl(
         next_round = 0
         visited = 0
         host_tally = {}
+        resumed_hot_mode: str | None = None
     else:
         _check_layout(fs, out_dir)
         next_round = resume_round + 1
         # O(rounds) resume: visited + backoff + hot-host tally from the
         # commit markers alone — no committed crawl_log parquet is
         # re-opened.
-        visited, backoff_k, host_tally = _resume_state(fs, out_dir, resume_round)
+        visited, backoff_k, host_tally, resumed_hot_mode = _resume_state(
+            fs, out_dir, resume_round
+        )
         _append_run_event(
             fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
             cfg.max_pages, "resume_run",
@@ -599,14 +625,26 @@ def crawl(
         ]
         return [h for _, h in sorted(eligible, reverse=True)[: cfg.hot_hosts]]
 
+    if hot_enabled and resumed_hot_mode == "distributed" and not use_hot_dist:
+        # The pre-crash crawl had MIGRATED its hot filters executor-side
+        # (recorded in the round marker): re-enter that regime directly.
+        # Instantiating the executor-side filter now keeps every later
+        # round out of the driver_fold branch, so resume never rebuilds
+        # driver-resident filters via _build_host_filter — which would
+        # pull every hot host's full url_hash set onto the driver, the
+        # memory blowup the migration existed to avoid.
+        from sparkcrawler.operators.cuckoo import DistributedHotHostFilter
+
+        hot_dist = DistributedHotHostFilter(spark, bloom)
     if hot_enabled and host_tally:
         want = _hot_set(host_tally)
-        if use_hot_dist and want:
+        if (use_hot_dist or hot_dist is not None) and want:
             from sparkcrawler.operators.cuckoo import DistributedHotHostFilter
 
-            hot_dist = DistributedHotHostFilter(spark, bloom)
+            if hot_dist is None:
+                hot_dist = DistributedHotHostFilter(spark, bloom)
             hot_dist.ensure_hosts(want, _seen_new(next_round))
-        else:
+        elif hot_dist is None:
             for h in want:
                 hot_filters[h] = _build_host_filter(h, next_round)
 
@@ -875,6 +913,11 @@ def crawl(
         if hot_enabled:
             payload["hot_tally"] = dict(
                 sorted(round_host_tally.items(), key=lambda kv: -kv[1])[:64]
+            )
+            # regime at commit time — resume re-enters it directly
+            # instead of rebuilding driver-side (see _resume_state)
+            payload["hot_mode"] = (
+                "distributed" if hot_dist is not None else "driver"
             )
         _commit(fs, out_dir, str(r), payload)
         visited += processed

@@ -37,17 +37,22 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-_UDF_SESSIONS: set[int] = set()
+import weakref
+
+_UDF_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _ensure_extract_registered(spark) -> None:
     """Register the Arrow extract UDF for SQL-string plans (once per
     session; registration is what lets the whole extract+filter stage be
-    one selectExpr parse instead of dozens of gateway calls)."""
-    key = id(spark)
-    if key not in _UDF_SESSIONS:
+    one selectExpr parse instead of dozens of gateway calls). Keyed on a
+    WeakSet of the session itself, not ``id(spark)`` — after a stopped
+    session is GC'd a new one can reuse the same id, which would skip
+    registration and break every ``sc_extract_page`` selectExpr (and an
+    int-keyed set would leak an entry per session)."""
+    if spark not in _UDF_SESSIONS:
         spark.udf.register("sc_extract_page", extract_page_udf)
-        _UDF_SESSIONS.add(key)
+        _UDF_SESSIONS.add(spark)
 
 # On a 429, the reference sleeps 10s and multiplies its poll interval by
 # 1.5 (reference main.py:80-84). The distributed analog: a host that

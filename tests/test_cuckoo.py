@@ -247,6 +247,51 @@ def test_distributed_filter_matches_driver_filter(spark):
     driver.release()
 
 
+def test_distributed_filter_delta_without_state_row(spark):
+    """ensure_hosts must not admit a zero-seen host (it would count in
+    hot_active while permanently Bloom-fallback), and a delta for a host
+    with no state row must end in an exact rebuild from seen_df — not a
+    silent drop, and not a delta-only filter (whose misses would read as
+    'definitely unseen' for pre-delta URLs)."""
+    from sparkcrawler.operators.cuckoo import DistributedHotHostFilter
+    from sparkcrawler.operators.seen import PartitionedBloom
+
+    seen_a = _hashes(200, seed=21)
+    bloom = PartitionedBloom(4, 1 << 16)
+    bloom.add_hashes(seen_a)
+    seen_df = spark.createDataFrame(
+        [("a.example", int(h)) for h in seen_a], "host string, url_hash long"
+    )
+    dist = DistributedHotHostFilter(spark, bloom)
+    dist.ensure_hosts({"a.example", "ghost.example"}, seen_df)
+    assert dist.hosts == {"a.example"}
+
+    # direct-API trap: a hot host whose state row is missing
+    dist.hosts.add("b.example")
+    hist = _hashes(150, seed=22)  # b's full history; delta = last 50
+    seen_b = spark.createDataFrame(
+        [("b.example", int(h)) for h in hist], "host string, url_hash long"
+    )
+    delta_df = spark.createDataFrame(
+        [("b.example", int(h)) for h in hist[100:]],
+        "host string, url_hash long",
+    )
+    dist.update_from_df(delta_df, seen_df.unionByName(seen_b))
+    # b's filter must now be EXACT: pre-delta history still answers maybe
+    cand = spark.createDataFrame(
+        [("b.example", int(h)) for h in hist[:100]]
+        + [("a.example", int(h)) for h in seen_a[:50]],
+        "host string, url_hash long",
+    )
+    assert all(r["_maybe"] for r in dist.tag_maybe(cand, spark).collect())
+    # and the rebuild flag cleared (no lingering n_buckets=0 rows)
+    assert all(
+        r["n_buckets"] > 0
+        for r in dist.tables_df.select("n_buckets").collect()
+    )
+    dist.release()
+
+
 def test_distributed_bloom_hot_crawl_identical(spark):
     """North-star regime: DISTRIBUTED bloom + hot-host cuckoo shards —
     bit-identical to the plain anti-join crawl, with the hot layer
@@ -390,6 +435,71 @@ def test_broadcast_to_distributed_migration_mid_crawl(spark):
     assert seens[0] == seens[1]
     modes = [s.get("hot_mode") for s in stats[1]]
     assert "distributed" in modes, modes
+
+
+def test_resume_after_migration_stays_distributed(spark):
+    """A crawl that migrated its hot filters executor-side must RE-ENTER
+    the distributed regime on resume (round markers record hot_mode) —
+    never rebuild driver-resident filters, which would pull every hot
+    host's full url_hash set onto the driver (RecordingFS-asserted)."""
+    from sparkcrawler.plans.crawl import (
+        CrawlConfig, crawl, read_crawl_log, read_seen,
+    )
+    from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
+    from tests.test_crawl import RecordingFS
+
+    layout, pages = synth_pages_df(spark, 200, 3)
+    pages = pages.cache()
+    rob = robots_df(spark, layout)
+    seed = page_url(1, 0)
+    hot_kw = dict(
+        max_pages=10_000, hot_hosts=2, hot_host_min_new=4,
+        bloom_driver_update_limit=0,  # every round is "too big"
+    )
+    out_full = tempfile.mkdtemp(prefix="sc_hotres_full_")
+    out_res = tempfile.mkdtemp(prefix="sc_hotres_resume_")
+    try:
+        full = crawl(
+            spark, pages, rob, [seed], out_full, config=CrawlConfig(**hot_kw)
+        )
+        mig_round = min(
+            s["round"] for s in full.round_stats if s.get("hot_active", 0) > 0
+        )
+        # interrupted leg: stop right after the migrated round commits
+        first = crawl(
+            spark, pages, rob, [seed], out_res,
+            config=CrawlConfig(**hot_kw, max_rounds=mig_round + 1),
+        )
+        assert first.round_stats[-1]["hot_mode"] == "distributed"
+        fs = RecordingFS()
+        second = crawl(
+            spark, pages, rob, [seed], out_res,
+            config=CrawlConfig(**hot_kw), fs=fs,
+        )
+        # resume re-entered the distributed regime, never driver mode...
+        hot_rounds = [
+            s for s in second.round_stats if s.get("hot_active", 0) > 0
+        ]
+        assert hot_rounds
+        assert all(
+            s.get("hot_mode") != "driver" for s in second.round_stats
+        ), second.round_stats
+        # ...and never pulled a hash column onto the driver
+        for path, cols in fs.reads:
+            assert cols is None or "url_hash" not in cols, (path, cols)
+        # and the interrupted+resumed crawl is bit-identical
+        key = lambda out: sorted(
+            (r["url"], r["depth"], r["crawl_status"], r["status_code"])
+            for r in read_crawl_log(spark, out).collect()
+        )
+        assert key(out_full) == key(out_res)
+        assert {r["url"] for r in read_seen(spark, out_full).collect()} == {
+            r["url"] for r in read_seen(spark, out_res).collect()
+        }
+    finally:
+        pages.unpersist()
+        shutil.rmtree(out_full, ignore_errors=True)
+        shutil.rmtree(out_res, ignore_errors=True)
 
 
 def test_stash_keeps_saturated_filter_correct():
