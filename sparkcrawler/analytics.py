@@ -434,9 +434,19 @@ _MH_WORDS_SQL = _mh_words_sql()
 _MH_SIG_SQL = _mh_sig_sql()
 
 
-def _minhash_sig_of(docs: DataFrame) -> DataFrame:
+def _minhash_sig_of(docs: DataFrame, source: str = "relational") -> DataFrame:
     """The shared k=64 signature table (doc_id, g0..g63) over any
-    (doc_id, text) DataFrame."""
+    (doc_id, text) DataFrame.
+
+    ``source`` picks the physical form: ``"relational"`` (explode words
+    → groupBy min — the shape the DuckDB oracle mirrors term-for-term)
+    or ``"arrow"`` (the zero-shuffle mapInPandas pass, identical values
+    — proven by docs_minhash_arrow sharing the relational oracle). The
+    LSH/Jaccard/cluster pipeline consumes the arrow form, so at corpus
+    scale no per-word exploded rows ever cross a shuffle to build
+    signatures."""
+    if source == "arrow":
+        return _minhash_sig_arrow_of(docs)
     words = _words_of(docs)
     hm = (
         F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
@@ -487,16 +497,16 @@ FROM sig ORDER BY doc_id
 """
 
 
-def _lsh_membership_of(docs: DataFrame) -> DataFrame:
+def _lsh_membership_of(docs: DataFrame, source: str = "relational") -> DataFrame:
     """(doc_id, band_id, band_key) — each doc lands in 16 LSH buckets."""
-    sig = _minhash_sig_of(docs)
+    sig = _minhash_sig_of(docs, source=source)
     return sig.select(
         "doc_id", F.posexplode(F.array(*_band_cols())).alias("band_id", "band_key")
     ).select("doc_id", (F.col("band_id") + 1).cast("int").alias("band_id"), "band_key")
 
 
-def _lsh_membership(spark, sf_dir):
-    return _lsh_membership_of(_t(spark, sf_dir, "documents"))
+def _lsh_membership(spark, sf_dir, source: str = "relational"):
+    return _lsh_membership_of(_t(spark, sf_dir, "documents"), source=source)
 
 
 def _lsh_member_sql(src: str = "documents") -> str:
@@ -514,9 +524,10 @@ _LSH_MEMBER_SQL = _lsh_member_sql()
 def docs_lsh_buckets(spark, sf_dir):
     """LSH banding over the k=64 minhash signature: bucket = (band_id,
     band slice hash); buckets with >1 doc are the candidate near-dup
-    groups — candidate generation is bucket-local, never all-pairs."""
+    groups — candidate generation is bucket-local, never all-pairs.
+    Consumes the Arrow-pass signature (same values, no shuffle)."""
     return (
-        _lsh_membership(spark, sf_dir)
+        _lsh_membership(spark, sf_dir, source="arrow")
         .groupBy("band_id", "band_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -538,6 +549,7 @@ ORDER BY band_id, band_key
 def _jaccard_pairs_of(
     docs: DataFrame, threshold: float = 0.6,
     max_bucket: int | None = None,
+    source: str = "arrow",
 ) -> DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard ≥ threshold) over
     any (doc_id, text) DataFrame. Candidates come from the LSH buckets
@@ -553,8 +565,12 @@ def _jaccard_pairs_of(
     production dedup caps hot buckets and routes their docs to exact
     dedup on a boilerplate-stripped key instead; the cap is one
     groupBy(count) + semi-join, shuffle-free beyond what banding
-    already pays."""
-    member = _lsh_membership_of(docs)
+    already pays.
+
+    Signatures feed in through the zero-shuffle Arrow pass by default
+    (``source`` — see :func:`_minhash_sig_of`); values are identical to
+    the relational form, so the DuckDB oracles are unchanged."""
+    member = _lsh_membership_of(docs, source=source)
     if max_bucket is not None:
         small = (
             member.groupBy("band_id", "band_key")
@@ -1089,12 +1105,12 @@ def _md5_mod(strings, cache: dict) -> "np.ndarray":
     return out
 
 
-def docs_minhash_arrow(spark, sf_dir):
-    """MinHash signatures, Arrow-pass twin of :func:`docs_minhash`: the
-    k=64 permutation minima computed per document in one vectorized
-    numpy step — no explode, no shuffle, signature never leaves the
-    task that read the document."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _minhash_sig_arrow_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, g0..g63) in ONE mapInPandas pass — the zero-shuffle twin
+    of the relational :func:`_minhash_sig_of` (bit-identical values; the
+    whole LSH/Jaccard/cluster pipeline consumes this form, so building
+    signatures never explodes per-word rows through a shuffle)."""
+    docs = docs.select("doc_id", "text")
     A = np.array(_MH_A, dtype=np.int64)
     B = np.array(_MH_B, dtype=np.int64)
 
@@ -1103,18 +1119,44 @@ def docs_minhash_arrow(spark, sf_dir):
             cache: dict = {}
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: relational form emits no row
                 words = {w for w in text.split(" ") if w}
                 if not words:
                     continue  # relational groupBy has no row either
                 hm = _md5_mod(list(words), cache)
-                g = (hm[:, None] * A[None, :] + B[None, :]) % _MH_MOD
                 ids.append(doc_id)
-                sigs.append("-".join(str(int(v)) for v in g.min(axis=0)))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                sigs.append(
+                    ((hm[:, None] * A[None, :] + B[None, :]) % _MH_MOD).min(
+                        axis=0
+                    )
+                )
+            mat = (
+                np.stack(sigs)
+                if sigs
+                else np.zeros((0, _MINHASH_K), dtype=np.int64)
+            )
+            out = {"doc_id": ids}
+            for i in range(_MINHASH_K):
+                out[f"g{i}"] = mat[:, i]
+            yield pd.DataFrame(out)
 
-    return docs.mapInPandas(compute, schema="doc_id long, sig string").orderBy(
-        "doc_id"
+    schema = "doc_id long, " + ", ".join(
+        f"g{i} long" for i in range(_MINHASH_K)
     )
+    return docs.mapInPandas(compute, schema=schema)
+
+
+def docs_minhash_arrow(spark, sf_dir):
+    """MinHash signatures, Arrow-pass twin of :func:`docs_minhash`: the
+    k=64 permutation minima computed per document in one vectorized
+    numpy step (:func:`_minhash_sig_arrow_of`) — no explode, no shuffle,
+    the signature never leaves the task that read the document."""
+    sig = _minhash_sig_arrow_of(_t(spark, sf_dir, "documents"))
+    parts = [F.col(f"g{i}").cast("string") for i in range(_MINHASH_K)]
+    return sig.select(
+        "doc_id", F.concat_ws("-", *parts).alias("sig")
+    ).orderBy("doc_id")
 
 
 def docs_winnow_fp_arrow(spark, sf_dir):
@@ -1130,6 +1172,8 @@ def docs_winnow_fp_arrow(spark, sf_dir):
             cache: dict = {}
             ids, counts, mins = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: relational form emits no row
                 n = len(text) - 4
                 if n < 8:
                     continue  # no full 8-gram window → no relational rows
@@ -1167,6 +1211,8 @@ def docs_simhash_arrow(spark, sf_dir):
             cache: dict = {}
             ids, los, his = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: relational form emits no row
                 counts = Counter(w for w in text.split(" ") if w)
                 if not counts:
                     continue
@@ -1943,6 +1989,35 @@ def crawl_corpus_kept(spark, sf_dir):
     )
 
 
+def crawl_host_rates(spark, sf_dir):
+    """Per-host fetch accounting — the BATCH twin of the crawl-side
+    stateful stream (streaming/host_rates_stream.py; stream==batch is
+    pinned for any replay order in test_host_rates_stream.py) — over the
+    committed demo crawl. This catalog entry adds the missing leg: the
+    accounting values themselves hash-verified against DuckDB."""
+    from sparkcrawler.streaming.host_rates_stream import host_rates_batch
+
+    out = _demo_crawl_dir(spark)
+    return host_rates_batch(spark, f"{out}/crawl_log").orderBy("host")
+
+
+# fetch_rate: n/span at 6 dp never lands on an exact half (it would
+# need span divisible by 2^7; demo spans are <= ~10 rounds), so Spark
+# HALF_UP and DuckDB HALF_EVEN agree.
+HOST_RATES_SQL = f"""
+SELECT host,
+       CAST(sum(CASE WHEN crawl_status = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fetched,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(round) AS INT) AS first_round,
+       CAST(max(round) AS INT) AS last_round,
+       round(sum(CASE WHEN crawl_status = 2 THEN 1 ELSE 0 END)
+             / greatest(max(round) - min(round) + 1, 1), 6) AS fetch_rate
+FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet')
+GROUP BY host ORDER BY host
+"""
+
+
 CORPUS_KEPT_SQL = f"""
 WITH parsed AS (
   SELECT l.url, l.depth, coalesce(c.text, '') AS text
@@ -2104,6 +2179,7 @@ CATALOG: dict[str, QuerySpec] = {
     "crawl_pages_text": QuerySpec(crawl_pages_text, PAGES_TEXT_SQL),
     # the composed crawl→training-corpus emit (dedup + quality gate)
     "crawl_corpus_kept": QuerySpec(crawl_corpus_kept, CORPUS_KEPT_SQL),
+    "crawl_host_rates": QuerySpec(crawl_host_rates, HOST_RATES_SQL),
     # link extraction differential: Spark Arrow-UDF histogram vs the
     # pure-Python extractor's histogram materialized to parquet
     "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, OUTDEG_SQL),

@@ -115,6 +115,33 @@ def test_arrow_twins_equal_relational(spark):
         assert len(a) > 0
 
 
+def test_arrow_twins_null_text(spark, tmp_path):
+    """NULL / empty text must yield no row from the twins (the
+    relational forms emit none either) — not a TypeError inside the
+    Arrow batch loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcrawler.analytics import (
+        docs_minhash_arrow, docs_simhash_arrow, docs_winnow_fp_arrow,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["alpha beta gamma delta epsilon zeta", None, "",
+                         "the quick brown fox jumps over the lazy dog"],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    for twin in (docs_minhash_arrow, docs_winnow_fp_arrow,
+                 docs_simhash_arrow):
+        ids = [r["doc_id"] for r in twin(spark, str(tmp_path)).collect()]
+        assert ids == [1, 4], twin.__name__
+
+
 # ------------------- round 4: large-star/small-star components ----------
 
 
