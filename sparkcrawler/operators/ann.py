@@ -88,6 +88,7 @@ def build_ann_index(
     out_path: str,
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    fs=None,
 ) -> dict:
     """Materialize the LSH index: the embedding table re-written
     PARTITIONED BY bucket (2^n_planes directories). On a cluster this is
@@ -100,22 +101,24 @@ def build_ann_index(
     query never needs to know how the index was built — plus per-bucket
     occupancy from the written files' parquet footers (no extra job):
     the skew diagnostic that tells an operator when to add planes.
-    Returns the manifest dict."""
-    import glob as _glob
-    import json
-    import os
+    Returns the manifest dict.
 
-    import pyarrow.parquet as pq
+    Manifest/occupancy IO goes through the same driver-side ``fs`` shim
+    the crawl state uses (sparkcrawler.fs), so an index written to a
+    non-POSIX ``out_path`` (s3/gcs via an fsspec-backed subclass) still
+    gets a readable manifest — plain ``open``/``glob`` would silently
+    produce none."""
+    if fs is None:
+        from sparkcrawler.fs import DEFAULT_FS as fs
 
     with_bucket(emb, vec_col, n_planes).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(out_path)
     occupancy: dict[str, int] = {}
-    for d in sorted(_glob.glob(os.path.join(out_path, "bucket=*"))):
+    for d in fs.glob(fs.join(out_path, "bucket=*")):
         b = d.rsplit("=", 1)[-1]
         occupancy[b] = sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(os.path.join(d, "*.parquet"))
+            fs.parquet_num_rows(f) for f in fs.glob(fs.join(d, "*.parquet"))
         )
     counts = sorted(occupancy.values())
     manifest = {
@@ -127,20 +130,16 @@ def build_ann_index(
         "max_bucket": counts[-1] if counts else 0,
         "median_bucket": counts[len(counts) // 2] if counts else 0,
     }
-    with open(os.path.join(out_path, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
+    fs.write_json_atomic(fs.join(out_path, _MANIFEST), manifest)
     return manifest
 
 
-def read_manifest(index_path: str) -> dict | None:
-    import json
-    import os
+def read_manifest(index_path: str, fs=None) -> dict | None:
+    if fs is None:
+        from sparkcrawler.fs import DEFAULT_FS as fs
 
-    p = os.path.join(index_path, _MANIFEST)
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
-    return None
+    p = fs.join(index_path, _MANIFEST)
+    return fs.read_json(p) if fs.exists(p) else None
 
 
 def probe_buckets(
@@ -172,10 +171,20 @@ def ann_candidates(
     ``bucket`` IN-filter hits the partition column → the scan reads
     only |probes| of the 2^n_planes partition directories. Callers
     re-rank however they like (``ann_search`` is the cosine top-k).
-    ``n_planes`` defaults to the index's own manifest."""
+    ``n_planes`` defaults to the index's own manifest; a missing or
+    unreadable manifest with no explicit ``n_planes`` RAISES rather than
+    guessing — probing an index built under a different plane count
+    computes the wrong buckets and silently loses recall."""
     if n_planes is None:
         mf = read_manifest(index_path)
-        n_planes = mf["n_planes"] if mf else N_PLANES
+        if mf is None:
+            raise FileNotFoundError(
+                f"no {_MANIFEST} under {index_path!r} and n_planes was not "
+                "given — cannot determine the index geometry (probing with "
+                "a guessed plane count silently loses recall); pass "
+                "n_planes= explicitly to override"
+            )
+        n_planes = mf["n_planes"]
     probes = probe_buckets(bucket_py(query_vec, n_planes), hamming, n_planes)
     return spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
 

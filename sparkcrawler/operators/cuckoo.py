@@ -372,8 +372,13 @@ class DistributedHotHostFilter:
             if self.tables_df is None
             else self.tables_df.unionByName(built)
         )
-        self._swap_state(new)
-        self.hosts.update(missing)
+        manifest = self._swap_state(new)
+        # only count hosts that actually produced a state row: a host
+        # with zero seen rows builds nothing, and admitting it to
+        # self.hosts would have it permanently Bloom-fallback while
+        # inflating hot_active (and its first delta would hit the
+        # no-state-row path in update_from_df)
+        self.hosts.update(set(missing) & {r["host"] for r in manifest})
 
     # ----------------------------------------------------------- update --
 
@@ -391,8 +396,24 @@ class DistributedHotHostFilter:
         rebuild_limit = self.STASH_REBUILD
 
         def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if right.empty:  # host not hot (shouldn't happen: delta is filtered)
-                return right
+            if right.empty:
+                # delta for a host with no state row (unreachable via
+                # crawl(): ensure_hosts admits only hosts with built
+                # rows — but reachable for direct API users). Dropping
+                # it would silently lose the delta; a delta-only filter
+                # would violate the consult's completeness contract
+                # (miss == definitely unseen). Emit the delta-only
+                # filter flagged n_buckets=0, which the saturated-host
+                # pass below rebuilds EXACT from seen_df before this
+                # update returns.
+                f = CuckooFilter.from_hashes(
+                    left["url_hash"].to_numpy(dtype=np.int64)
+                )
+                _, n, table, stash = f.to_state()
+                return pd.DataFrame(
+                    {"host": [left["host"].iloc[0]], "n_buckets": [0],
+                     "n": [n], "table": [table], "stash": [stash]}
+                )
             r = right.iloc[0]
             if left.empty:
                 return right
