@@ -23,8 +23,11 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-R3_COMMIT = "5ead25e"
-R3_TREE = "/tmp/sc_r3_tree"
+# argv[1] overrides: any commit becomes the B leg, so the same harness
+# bisects the regression once confirmed (tree + output file are keyed
+# by the commit)
+R3_COMMIT = sys.argv[1] if len(sys.argv) > 1 else "5ead25e"
+R3_TREE = f"/tmp/sc_ab_tree_{R3_COMMIT}"
 LOAD_GATE = float(os.environ.get("SPARK_LOAD_GATE", "1.0"))
 LEGS = 3
 GATES: list[dict] = []
@@ -106,7 +109,9 @@ def main() -> None:
         "legs": legs,
         "idle_gate": {"load_gate": LOAD_GATE, "trials": GATES},
     }
-    with open(os.path.join(HERE, "r5_crawl_ab3.json"), "w") as fh:
+    with open(
+        os.path.join(HERE, f"r5_crawl_ab3_{R3_COMMIT}.json"), "w"
+    ) as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps({k: summary[k] for k in
                       ("best_current_sec", "best_r3_sec", "delta_pct")}))

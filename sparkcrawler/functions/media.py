@@ -254,14 +254,15 @@ def decode_image_batches(
     (media_id, blob) columns.
 
     ``real_decode=True`` runs the REAL pixel path for PNG blobs
-    (:func:`decode_png_py`: stdlib-zlib inflate + unfilter) and for
-    baseline JPEG blobs (:func:`sparkcrawler.functions.jpeg
-    .decode_jpeg_py`: pure-numpy Huffman + dequant + IDCT + YCbCr→RGB),
-    then the average-pool feature; it still raises
-    ``NotImplementedError`` for formats whose codecs this environment
-    lacks (GIF LZW, progressive/subsampled JPEG variants).
-    ``real_decode=False`` keeps the deterministic checksum stand-in for
-    every format, so the pipeline shape is exercisable on any blob."""
+    (:func:`decode_png_py`: stdlib-zlib inflate + unfilter), baseline
+    JPEG blobs (:func:`sparkcrawler.functions.jpeg.decode_jpeg_py`:
+    pure-numpy Huffman + dequant + IDCT + YCbCr→RGB), and GIF blobs
+    (:func:`sparkcrawler.functions.gif.decode_gif_py`: full LZW +
+    palette + interlace), then the average-pool feature; it still
+    raises ``NotImplementedError`` for the remaining env-constrained
+    variants (progressive/subsampled JPEG). ``real_decode=False`` keeps
+    the deterministic checksum stand-in for every format, so the
+    pipeline shape is exercisable on any blob."""
     for pdf in it:
         rows = []
         for media_id, blob in zip(pdf["media_id"], pdf["blob"]):
@@ -274,12 +275,16 @@ def decode_image_batches(
                     from sparkcrawler.functions.jpeg import decode_jpeg_py
 
                     px = decode_jpeg_py(b)
+                elif fmt == "gif":
+                    from sparkcrawler.functions.gif import decode_gif_py
+
+                    px = decode_gif_py(b)
                 else:
                     raise NotImplementedError(
                         f"real pixel decode for {fmt!r} requires an image "
                         "codec (PIL/opencv) — not available in this "
-                        "environment; only the stdlib PNG and baseline "
-                        "JPEG paths are real"
+                        "environment; only the PNG, baseline-JPEG and GIF "
+                        "paths are real"
                     )
                 feat = _pixel_feature(px, dim)
             else:

@@ -139,13 +139,42 @@ def test_decode_media_schema_and_determinism(spark):
 
 
 def test_real_decode_stubbed_for_codec_formats():
-    """Formats without a stdlib codec (JPEG/GIF entropy decode) must
-    still refuse a real decode loudly — never approximate silently."""
-    from sparkcrawler.functions.media import gif_bytes
+    """Variants outside the implemented codec envelopes (here:
+    progressive JPEG, SOF2) must still refuse a real decode loudly —
+    never approximate silently."""
+    import struct
 
-    pdf = pd.DataFrame({"media_id": ["g0"], "blob": [gif_bytes(8, 8)]})
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 8, 8) + b"\x03" + b"\x00" * 9
+    )
+    prog = b"\xff\xd8" + app0 + sof2 + b"\xff\xd9"
+    pdf = pd.DataFrame({"media_id": ["p0"], "blob": [prog]})
     with pytest.raises(NotImplementedError):
         next(decode_image_batches(iter([pdf]), real_decode=True))
+
+
+def test_real_decode_gif_exact_feature():
+    """GIF real decode through the mapInPandas body: the average-pool
+    feature of decode(encode(px)) must equal the feature computed from
+    the source pixels directly (GIF is lossless)."""
+    import numpy as np
+
+    from sparkcrawler.functions.gif import encode_gif_py
+    from sparkcrawler.functions.media import _pixel_feature
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 16, (24, 33))]
+    pdf = pd.DataFrame(
+        {"media_id": ["g0"], "blob": [encode_gif_py(px, interlace=True)]}
+    )
+    out = next(decode_image_batches(iter([pdf]), real_decode=True, dim=8))
+    want = _pixel_feature(px, 8)
+    norm = sum(x * x for x in want) ** 0.5
+    assert out.iloc[0]["format"] == "gif"
+    assert abs(out.iloc[0]["feat_norm"] - norm) < 1e-9
 
 
 # --------------------------- round 4: real PNG pixel decode (zlib) -------
