@@ -26,19 +26,29 @@ def get_spark(
     the 200 default over-parallelizes small local runs and
     under-parallelizes big ones.
     """
+    # Under spark-submit the JVM gateway already exists and carries the
+    # submitted --master / conf (client AND cluster deploy-mode set
+    # PYSPARK_GATEWAY_PORT for the driver python). Forcing a local[...]
+    # default there would clobber the cluster master the user submitted
+    # with — only apply local defaults when we own session creation.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    if master is None and not under_submit:
         master = f"local[{cpus}]" if cpus else "local[*]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not under_submit:
         if cpus:
             shuffle_partitions = int(cpus)
         else:
             shuffle_partitions = os.cpu_count() or 8
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
