@@ -1,15 +1,16 @@
-"""Interleaved A/B: current tree vs the round-3-pinned checkout, same
-default crawl config (30k pages, fanout 64), same box, same window.
+"""Interleaved A/B/N: the current tree vs pinned checkouts, same
+default bench crawl (30k pages, fanout 64), same box, same window.
 
-Round 4/5 measured the default crawl at 52.5-53.3s in near-idle windows
-vs round 3's committed 42.41s, with every steady round ~+1.5s — too
-consistent for window noise. This harness answers it directly per the
-round-4 verdict (#8): a detached worktree at the round-3 end commit and
-the current tree run the SAME bench crawl back-to-back, interleaved,
-idle-gated, three legs each. Each leg is a fresh JVM; each tree imports
-its own sparkcrawler (script dir wins sys.path over the .pth install).
+Rounds 4/5 measured the default crawl at 52.5-53.3s in near-idle
+windows vs round 3's committed 42.41s, with every steady round ~+1.5s —
+too consistent for window noise. Per the round-4 verdict (#8) this
+harness runs the SAME bench crawl from detached worktrees at each given
+commit and from the current tree, interleaved and idle-gated, LEGS
+times each; each leg is a fresh JVM and each tree imports its own
+sparkcrawler (script dir wins sys.path over the .pth install). Passing
+several commits bisects in one window.
 
-Usage:  python BENCH/run_ab_r3.py
+Usage:  python BENCH/run_ab_r3.py [commit ...]   (default: 5ead25e=r3)
 Writes: BENCH/r5_crawl_ab3.json
 """
 
@@ -23,11 +24,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-# argv[1] overrides: any commit becomes the B leg, so the same harness
-# bisects the regression once confirmed (tree + output file are keyed
-# by the commit)
-R3_COMMIT = sys.argv[1] if len(sys.argv) > 1 else "5ead25e"
-R3_TREE = f"/tmp/sc_ab_tree_{R3_COMMIT}"
+COMMITS = sys.argv[1:] or ["5ead25e"]
 LOAD_GATE = float(os.environ.get("SPARK_LOAD_GATE", "1.0"))
 LEGS = 3
 GATES: list[dict] = []
@@ -48,12 +45,14 @@ def wait_idle(tag: str) -> None:
     print(f"[gate] {tag}: load {load1:.2f} — go", file=sys.stderr)
 
 
-def ensure_r3_tree() -> None:
-    if not os.path.isdir(R3_TREE):
+def tree_of(commit: str) -> str:
+    tree = f"/tmp/sc_ab_tree_{commit}"
+    if not os.path.isdir(tree):
         subprocess.run(
-            ["git", "worktree", "add", "--detach", R3_TREE, R3_COMMIT],
+            ["git", "worktree", "add", "--detach", tree, commit],
             cwd=REPO, check=True,
         )
+    return tree
 
 
 def run_bench(tree: str) -> dict:
@@ -61,7 +60,7 @@ def run_bench(tree: str) -> dict:
     env.update({
         "SPARK_GRAFT_CPUS": "32",
         "SPARK_BENCH_SKIP_QUERIES": "1",
-        "SPARK_BENCH_SKIP_VARIANTS": "1",  # ignored by the r3 bench
+        "SPARK_BENCH_SKIP_VARIANTS": "1",  # ignored by pre-r4 benches
         "SPARK_BENCH_AQE": "0",
     })
     out = subprocess.run(
@@ -82,14 +81,12 @@ def run_bench(tree: str) -> dict:
 
 
 def main() -> None:
-    ensure_r3_tree()
-    # untimed warm leg per tree: builds/caches each tree's corpus so no
-    # timed leg pays corpus synthesis
-    for tree in (REPO, R3_TREE):
+    variants = [("current", REPO)] + [(c, tree_of(c)) for c in COMMITS]
+    for _, tree in variants:  # untimed warm leg: corpus cache per tree
         run_bench(tree)
-    legs: dict[str, list[dict]] = {"current": [], "r3": []}
+    legs: dict[str, list[dict]] = {name: [] for name, _ in variants}
     for i in range(LEGS):
-        for name, tree in (("current", REPO), ("r3", R3_TREE)):
+        for name, tree in variants:
             wait_idle(f"leg{i + 1}-{name}")
             r = run_bench(tree)
             legs[name].append(r)
@@ -97,24 +94,15 @@ def main() -> None:
                   f"(steady {r['steady_urls_per_sec']})", file=sys.stderr)
     best = {k: min(v, key=lambda r: r["crawl_sec"]) for k, v in legs.items()}
     summary = {
-        "r3_commit": R3_COMMIT,
-        "best_current_sec": best["current"]["crawl_sec"],
-        "best_r3_sec": best["r3"]["crawl_sec"],
-        "delta_pct": round(
-            100 * (best["current"]["crawl_sec"] / best["r3"]["crawl_sec"] - 1),
-            1,
-        ),
-        "best_current_round_walls": best["current"]["round_walls"],
-        "best_r3_round_walls": best["r3"]["round_walls"],
+        "best_sec": {k: v["crawl_sec"] for k, v in best.items()},
+        "best_steady": {k: v["steady_urls_per_sec"] for k, v in best.items()},
+        "best_round_walls": {k: v["round_walls"] for k, v in best.items()},
         "legs": legs,
         "idle_gate": {"load_gate": LOAD_GATE, "trials": GATES},
     }
-    with open(
-        os.path.join(HERE, f"r5_crawl_ab3_{R3_COMMIT}.json"), "w"
-    ) as fh:
+    with open(os.path.join(HERE, "r5_crawl_ab3.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
-    print(json.dumps({k: summary[k] for k in
-                      ("best_current_sec", "best_r3_sec", "delta_pct")}))
+    print(json.dumps(summary["best_sec"]))
 
 
 if __name__ == "__main__":
