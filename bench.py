@@ -211,6 +211,8 @@ HEADLINE = [
     "docs_lsh_buckets",
     "docs_simhash",
     "docs_simhash_arrow",
+    "docs_gopher_quality",
+    "docs_gopher_quality_arrow",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embeddings_neardup_topk",

@@ -999,6 +999,222 @@ FROM documents ORDER BY doc_id
 """
 
 
+# Gopher-style repetition gate thresholds (Rae et al. 2021 use the same
+# signal family — most-frequent-unigram/bigram share + duplicate share;
+# values tuned so the synthetic corpus splits ~50/50, exercising both
+# branches of `keep` in the oracle diff):
+_GQ_TOP_UNI = 0.12
+_GQ_TOP_BI = 0.05
+_GQ_DUP = 0.65
+
+
+def docs_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality gate per document: the share of
+    the most frequent unigram and bigram plus the duplicate-word share,
+    with a boolean ``keep`` verdict — the filter family an LLM-corpus
+    pipeline runs right after language-ID. Relational form: explode →
+    two per-doc partial-aggregated counts → join; both aggregations are
+    map-side-combinable on (doc_id, term), so at 100 TB every executor
+    collapses its own documents before the single shuffle (a doc's words
+    co-reside in its scan task). Docs with NULL/whitespace-only text
+    emit no row (same contract as the minhash forms)."""
+    docs = _t(spark, sf_dir, "documents")
+    words_col = F.filter(F.split("text", " "), lambda w: w != "")
+    base = (
+        docs.select("doc_id", words_col.alias("words"))
+        .where(F.size("words") > 0)
+        .select(
+            "doc_id",
+            "words",
+            F.size("words").cast("long").alias("n_words"),
+            F.size(F.array_distinct("words")).cast("long").alias("n_distinct"),
+            F.zip_with(
+                F.slice("words", 1, F.size("words") - 1),
+                F.slice(F.col("words"), F.lit(2), F.size("words") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ).alias("bigrams"),
+        )
+    )
+    uni = (
+        base.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_uni"))
+    )
+    bi = (
+        base.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bi"))
+    )
+    fu = F.round(F.col("top_uni") / F.col("n_words"), 4)
+    fb = F.round(
+        F.coalesce(F.col("top_bi"), F.lit(0))
+        / F.greatest(F.col("n_words") - 1, F.lit(1)),
+        4,
+    )
+    fd = F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 4)
+    return (
+        base.join(uni, "doc_id").join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            fu.alias("top_unigram_frac"),
+            fb.alias("top_bigram_frac"),
+            fd.alias("dup_word_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_unigram_frac") <= _GQ_TOP_UNI)
+            & (F.col("top_bigram_frac") <= _GQ_TOP_BI)
+            & (F.col("dup_word_frac") <= _GQ_DUP),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, words, len(words) AS n_words,
+         len(list_distinct(words)) AS n_distinct,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM w WHERE len(words) > 0
+),
+uni AS (
+  SELECT doc_id, max(cnt) AS top_uni FROM (
+    SELECT doc_id, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(words) AS x FROM base) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, max(cnt) AS top_bi FROM (
+    SELECT doc_id, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bigrams) AS x FROM base) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       round(u.top_uni * 1.0 / b.n_words, 4) AS top_unigram_frac,
+       round(coalesce(bb.top_bi, 0) * 1.0 / greatest(b.n_words - 1, 1), 4)
+         AS top_bigram_frac,
+       round(1.0 - b.n_distinct * 1.0 / b.n_words, 4) AS dup_word_frac,
+       (round(u.top_uni * 1.0 / b.n_words, 4) <= {_GQ_TOP_UNI}
+        AND round(coalesce(bb.top_bi, 0) * 1.0 / greatest(b.n_words - 1, 1), 4)
+            <= {_GQ_TOP_BI}
+        AND round(1.0 - b.n_distinct * 1.0 / b.n_words, 4) <= {_GQ_DUP})
+         AS keep
+FROM base b JOIN uni u USING (doc_id) LEFT JOIN bi bb USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def docs_gopher_quality_arrow(spark, sf_dir):
+    """Gopher repetition gate, Arrow-pass twin of
+    :func:`docs_gopher_quality`: every signal is a per-document
+    function of that document's words alone, so one mapInPandas pass
+    computes them all with two Counters — zero shuffles, no exploded
+    per-word rows. The 100-TB production form (same DuckDB oracle).
+    Rounding matches Spark's HALF_UP-on-the-exact-double semantics via
+    Decimal quantize."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compute(batches):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q4 = Decimal("0.0001")
+
+        def r4(x: float) -> float:
+            return float(Decimal(x).quantize(q4, ROUND_HALF_UP))
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_words", "top_unigram_frac",
+                    "top_bigram_frac", "dup_word_frac", "keep",
+                )
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: relational form emits no row
+                words = [w for w in text.split(" ") if w]
+                if not words:
+                    continue
+                n = len(words)
+                cu = Counter(words)
+                top_bi = 0
+                if n > 1:
+                    top_bi = max(
+                        Counter(
+                            words[i] + " " + words[i + 1]
+                            for i in range(n - 1)
+                        ).values()
+                    )
+                fu = r4(max(cu.values()) / n)
+                fb = r4(top_bi / max(n - 1, 1))
+                fd = r4(1.0 - len(cu) / n)
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(n)
+                out["top_unigram_frac"].append(fu)
+                out["top_bigram_frac"].append(fb)
+                out["dup_word_frac"].append(fd)
+                out["keep"].append(
+                    fu <= _GQ_TOP_UNI and fb <= _GQ_TOP_BI and fd <= _GQ_DUP
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_words long, top_unigram_frac double, "
+        "top_bigram_frac double, dup_word_frac double, keep boolean"
+    )
+    return docs.mapInPandas(compute, schema=schema).orderBy("doc_id")
+
+
+_TOP_TERMS_K = 50
+
+
+def corpus_top_terms(spark, sf_dir):
+    """Corpus-wide heavy hitters: the top-K terms by total occurrences
+    with their document frequency — the vocabulary/stopword profile a
+    training-data pipeline derives before tokenizer fitting. One explode
+    + one shuffle on term; occurrence counts partial-aggregate map-side,
+    and the per-term document frequency is a count-distinct whose key
+    (term, doc_id) is already co-located after the same shuffle. At
+    100 TB the explode never materializes: Tungsten pipelines
+    explode→partial-agg inside the scan stage, so only (term, count)
+    pairs — bounded by the vocabulary, not the corpus — cross the wire.
+    Ties broken by term for a deterministic cut."""
+    docs = _t(spark, sf_dir, "documents")
+    words_col = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        docs.select("doc_id", F.explode(words_col).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(_TOP_TERMS_K)
+    )
+
+
+TOP_TERMS_SQL = f"""
+SELECT term, count(*) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+  FROM documents
+)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT {_TOP_TERMS_K}
+"""
+
+
 def docs_winnow_fp(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): hash every char 5-gram (integer-exact
@@ -2158,6 +2374,10 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_simhash": QuerySpec(docs_simhash, SIMHASH_SQL),
     "docs_token_stats": QuerySpec(docs_token_stats, TOKENS_SQL),
     "docs_bpe_tokens": QuerySpec(docs_bpe_tokens, BPE_TOKENS_SQL),
+    "docs_gopher_quality": QuerySpec(docs_gopher_quality, GOPHER_SQL),
+    "docs_gopher_quality_arrow": QuerySpec(
+        docs_gopher_quality_arrow, GOPHER_SQL),
+    "corpus_top_terms": QuerySpec(corpus_top_terms, TOP_TERMS_SQL),
     "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
     # Arrow-pass twins: same results, zero-shuffle mapInPandas plans —
     # verified against the SAME DuckDB oracles as their relational forms
