@@ -2,13 +2,14 @@
 
 The decode side (:func:`decode_jpeg_py`) is the REAL thing for the
 envelope it claims: baseline sequential DCT (SOF0), 8-bit samples,
-1-component grayscale or 3-component YCbCr with no chroma subsampling
-(all sampling factors 1×1), single interleaved scan, no restart
-intervals. Everything outside that envelope — progressive (SOF2),
-arithmetic coding, 4:2:0/4:2:2 subsampling, restart markers, 12-bit —
-raises ``NotImplementedError`` loudly: the decode is real or refused,
-never approximated (same discipline as the PNG path in
-:mod:`sparkcrawler.functions.media`).
+1-component grayscale or 3-component YCbCr with sampling factors 1..2
+per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0 — MCU-interleaved per T.81
+A.2.3; subsampled chroma upsamples by sample replication), single
+interleaved scan, no restart intervals. Everything outside that
+envelope — progressive (SOF2), arithmetic coding, sampling factors
+above 2, restart markers, 12-bit — raises ``NotImplementedError``
+loudly: the decode is real or refused, never approximated (same
+discipline as the PNG path in :mod:`sparkcrawler.functions.media`).
 
 The encode side (:func:`encode_jpeg_py`) exists as the test oracle: it
 emits a complete valid baseline JFIF stream (DQT + SOF0 + DHT + SOS +
@@ -236,12 +237,17 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0x0F
+                if ncomp == 1:
+                    # single-component scans are non-interleaved (T.81
+                    # A.2.2): the MCU is one block, factors are moot
+                    hs = vs = 1
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (sampling factors != 1x1) — only "
-                        "4:4:4 / grayscale baseline is implemented"
+                        f"JPEG sampling factors {hs}x{vs} — only 1..2 "
+                        "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) are implemented"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, qid, hs, vs))
             frame = (height, width, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -282,46 +288,79 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
     if frame is None or scan is None or entropy is None:
         raise ValueError("JPEG missing SOF0/SOS/entropy data")
     height, width, comps = frame
-    qid_of = dict(comps)
+    qid_of = {cid: qid for cid, qid, _, _ in comps}
+    factors = {cid: (hs, vs) for cid, _, hs, vs in comps}
     ncomp = len(comps)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    hmax = max(hs for _, _, hs, _ in comps)
+    vmax = max(vs for _, _, _, vs in comps)
+    for cid, (hs, vs) in factors.items():
+        if hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                f"non-integer JPEG subsampling ratio ({hs}x{vs} vs "
+                f"max {hmax}x{vmax})"
+            )
+    # MCU grid covers the image at max-factor resolution; each MCU
+    # carries hs*vs blocks of each component, row-major (T.81 A.2.3)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
     reader = _BitReader(entropy)
-    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
-    pred = {cid: 0 for cid, _ in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for cid, dc_id, ac_id in scan:
-                zz = np.zeros(64, dtype=np.int64)
-                t = reader.decode_symbol(dc_tables[dc_id])
-                diff = _extend(reader.read_bits(t), t)
-                pred[cid] += diff
-                zz[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_symbol(ac_tables[ac_id])
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.int64)
-                block[ZIGZAG] = zz
-                coeffs = block.reshape(8, 8) * qtables[qid_of[cid]]
-                planes[cid][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = _idct_block(coeffs) + 128.0
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        for cid, (hs, vs) in factors.items()
+    }
+    pred = {cid: 0 for cid, _, _, _ in comps}
 
-    cropped = [planes[cid][:height, :width] for cid, _ in comps]
+    def decode_block(cid: int, dc_id: int, ac_id: int) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        t = reader.decode_symbol(dc_tables[dc_id])
+        diff = _extend(reader.read_bits(t), t)
+        pred[cid] += diff
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(ac_tables[ac_id])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        block = np.zeros(64, dtype=np.int64)
+        block[ZIGZAG] = zz
+        coeffs = block.reshape(8, 8) * qtables[qid_of[cid]]
+        return _idct_block(coeffs) + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, dc_id, ac_id in scan:
+                hs, vs = factors[cid]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        by, bx = my * vs + vy, mx * hs + vx
+                        planes[cid][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = decode_block(cid, dc_id, ac_id)
+
+    # crop each component to its own resolution, then upsample by
+    # sample replication (the encoder's expected-reconstruction uses
+    # the identical np.repeat, so round-trips are exact-pixel)
+    full = []
+    for cid, _, hs, vs in comps:
+        ch = (height * vs + vmax - 1) // vmax
+        cw = (width * hs + hmax - 1) // hmax
+        p = planes[cid][:ch, :cw]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:height, :width])
     if ncomp == 1:
-        return np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
-    return ycbcr_to_rgb(np.stack(cropped, axis=-1))
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(np.stack(full, axis=-1))
 
 
 # --------------------------------------------------------------- encoder --
@@ -410,34 +449,77 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
 
 
+_SUBSAMPLING_FACTORS = {
+    # component (h, v) sampling factors for (Y, Cb, Cr)
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Mean over fh×fv windows (edge-replicated to whole windows) —
+    the chroma downsample for 4:2:2 / 4:2:0 encoding."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    padded = np.zeros((ph, pw))
+    padded[:h, :w] = plane
+    if w < pw:
+        padded[:h, w:] = plane[:, -1:]
+    if h < ph:
+        padded[h:, :] = padded[h - 1 : h, :]
+    return padded.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
 def encode_jpeg_with_expected(
-    img: np.ndarray, quality: int = 75
+    img: np.ndarray, quality: int = 75, subsampling: str = "444"
 ) -> tuple[bytes, np.ndarray]:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
-    baseline JFIF 4:4:4 and return ``(blob, expected)`` where
-    ``expected`` is the exact uint8 image those bytes decode to
-    (dequantize + IDCT of the very coefficients that were written,
-    cropped, color-transformed, rounded, clamped)."""
+    baseline JFIF and return ``(blob, expected)`` where ``expected``
+    is the exact uint8 image those bytes decode to (dequantize + IDCT
+    of the very coefficients that were written, chroma upsampled by
+    sample replication where subsampled, cropped, color-transformed,
+    rounded, clamped). ``subsampling``: "444" (default), "422"
+    (chroma halved horizontally, Y 2x1) or "420" (chroma halved both
+    ways, Y 2x2) — color images only; entropy data is MCU-interleaved
+    per T.81 A.2.3."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    if subsampling not in _SUBSAMPLING_FACTORS:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     qy = scaled_qtable(QTABLE_LUMA, quality)
     qc = scaled_qtable(QTABLE_CHROMA, quality)
 
     if gray:
         planes = [img.astype(np.float64)]
         qids, qtabs = [0], {0: qy}
+        comp_factors = [(1, 1)]
     else:
         ycc = rgb_to_ycbcr(img)
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         qids, qtabs = [0, 1, 1], {0: qy, 1: qc}
+        comp_factors = _SUBSAMPLING_FACTORS[subsampling]
+    hmax = max(fh for fh, _ in comp_factors)
+    vmax = max(fv for _, fv in comp_factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     per_comp = []
     recon_planes = []
-    for plane, qid in zip(planes, qids):
-        blocks, recon = _encode_plane_zigzag(plane, qtabs[qid])
+    comp_dims = []
+    for plane, qid, (fh, fv) in zip(planes, qids, comp_factors):
+        sub = _box_downsample(plane, hmax // fh, vmax // fv)
+        ch, cw = (h * fv + vmax - 1) // vmax, (w * fh + hmax - 1) // hmax
+        assert sub.shape == (ch, cw), (sub.shape, ch, cw)
+        blocks, recon = _encode_plane_zigzag(
+            sub, qtabs[qid], pad_to=(mcuy * fv * 8, mcux * fh * 8)
+        )
         per_comp.append(blocks)
-        recon_planes.append(recon[:h, :w])
+        recon_planes.append(recon[:ch, :cw])
+        comp_dims.append((ch, cw))
 
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _flat_tables()
     dc_table = _CanonicalHuffman(dc_bits, dc_vals)
@@ -445,43 +527,57 @@ def encode_jpeg_with_expected(
 
     writer = _BitWriter()
     pred = [0] * len(planes)
-    nblocks = len(per_comp[0])
-    for bi in range(nblocks):
-        for ci in range(len(planes)):
-            zz = per_comp[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            t = _size_of(diff)
-            length, code = dc_table.encode[t]
-            writer.write(code, length)
-            if t:
-                writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-            # AC coefficients with run-length coding
-            k = 1
-            run = 0
-            while k < 64:
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                else:
-                    while run > 15:
-                        length, code = ac_table.encode[0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    s = _size_of(v)
-                    length, code = ac_table.encode[(run << 4) | s]
+    # MCU-interleaved block order (T.81 A.2.3): per MCU, each
+    # component contributes its fh*fv blocks row-major
+    order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fh, fv) in enumerate(comp_factors):
+                for vy in range(fv):
+                    for vx in range(fh):
+                        order.append(
+                            (ci, (my * fv + vy) * (mcux * fh) + mx * fh + vx)
+                        )
+    for ci, bi in order:
+        zz = per_comp[ci][bi]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = _size_of(diff)
+        length, code = dc_table.encode[t]
+        writer.write(code, length)
+        if t:
+            writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        # AC coefficients with run-length coding
+        k = 1
+        run = 0
+        while k < 64:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+            else:
+                while run > 15:
+                    length, code = ac_table.encode[0xF0]
                     writer.write(code, length)
-                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                k += 1
-            if run:
-                length, code = ac_table.encode[0x00]  # EOB
+                    run -= 16
+                s = _size_of(v)
+                length, code = ac_table.encode[(run << 4) | s]
                 writer.write(code, length)
+                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            k += 1
+        if run:
+            length, code = ac_table.encode[0x00]  # EOB
+            writer.write(code, length)
     entropy = writer.flush()
 
     ncomp = len(planes)
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, qids[cid]]) for cid in range(ncomp)
+        bytes([
+            cid + 1,
+            (comp_factors[cid][0] << 4) | comp_factors[cid][1],
+            qids[cid],
+        ])
+        for cid in range(ncomp)
     )
     sof0 = (
         b"\xff\xc0"
@@ -518,17 +614,35 @@ def encode_jpeg_with_expected(
     if gray:
         expected = np.clip(np.round(recon_planes[0]), 0, 255).astype(np.uint8)
     else:
-        expected = ycbcr_to_rgb(np.stack(recon_planes, axis=-1))
+        # subsampled chroma upsamples by sample replication — the exact
+        # inverse the decoder applies, so expected is pixel-exact
+        up = []
+        for recon, (fh, fv) in zip(recon_planes, comp_factors):
+            if fh != hmax or fv != vmax:
+                recon = np.repeat(
+                    np.repeat(recon, vmax // fv, axis=0), hmax // fh, axis=1
+                )
+            up.append(recon[:h, :w])
+        expected = ycbcr_to_rgb(np.stack(up, axis=-1))
     return blob, expected
 
 
 def _encode_plane_zigzag(
-    plane: np.ndarray, q: np.ndarray
+    plane: np.ndarray, q: np.ndarray,
+    pad_to: tuple[int, int] | None = None,
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """Blocks of ZIGZAG-ordered quantized coefficients + the expected
-    reconstruction for one component plane."""
+    reconstruction for one component plane. ``pad_to`` overrides the
+    padded plane size (multiples of 8; MCU-interleaved scans need a
+    component padded to whole MCUs, not just whole blocks)."""
     h, w = plane.shape
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    if pad_to is None:
+        bh, bw = (h + 7) // 8, (w + 7) // 8
+    else:
+        ph, pw = pad_to
+        if ph % 8 or pw % 8 or ph < h or pw < w:
+            raise ValueError(f"bad pad_to {pad_to} for plane {plane.shape}")
+        bh, bw = ph // 8, pw // 8
     padded = np.zeros((bh * 8, bw * 8))
     padded[:h, :w] = plane
     if w < bw * 8:

@@ -1,7 +1,8 @@
 """Pure-numpy baseline JPEG codec (functions/jpeg.py): exact-pixel
 decode against the in-repo encoder's mathematically expected
-reconstruction, loud refusal outside the baseline 4:4:4 envelope, and
-the real_decode mapInPandas pipeline over mixed PNG+JPEG blobs."""
+reconstruction (4:4:4, 4:2:2, 4:2:0), loud refusal outside the
+baseline envelope, and the real_decode mapInPandas pipeline over
+mixed PNG+JPEG blobs."""
 
 from __future__ import annotations
 
@@ -80,11 +81,26 @@ def test_refuses_progressive_sof2():
         decode_jpeg_py(broken)
 
 
-def test_refuses_subsampled():
+def test_subsampled_roundtrip_exact():
+    """4:2:2 and 4:2:0 MCU-interleaved streams decode bit-exactly
+    against the encoder's expected reconstruction (box-mean downsample,
+    sample-replication upsample), including non-MCU-multiple sizes."""
+    for samp in ("422", "420"):
+        for h, w in ((16, 16), (17, 23), (3, 5), (33, 31)):
+            img = _rgb_pattern(h, w, seed=h + w)
+            blob, expected = encode_jpeg_with_expected(
+                img, quality=80, subsampling=samp
+            )
+            got = decode_jpeg_py(blob)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, expected), f"{samp} {h}x{w}"
+
+
+def test_refuses_sampling_factors_above_two():
     blob = bytearray(encode_jpeg_py(_rgb_pattern(8, 8)))
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 11] = 0x22  # first component sampling factors 2x2
-    with pytest.raises(NotImplementedError, match="subsampl"):
+    blob[i + 11] = 0x33  # first component sampling factors 3x3
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg_py(bytes(blob))
 
 
