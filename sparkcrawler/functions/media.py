@@ -260,7 +260,8 @@ def decode_image_batches(
     (:func:`sparkcrawler.functions.gif.decode_gif_py`: full LZW +
     palette + interlace), then the average-pool feature; it still
     raises ``NotImplementedError`` for the remaining env-constrained
-    variants (progressive/subsampled JPEG). ``real_decode=False`` keeps
+    variants (progressive JPEG, sampling factors above 2).
+    ``real_decode=False`` keeps
     the deterministic checksum stand-in for every format, so the
     pipeline shape is exercisable on any blob."""
     for pdf in it:
