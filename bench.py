@@ -217,6 +217,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "embeddings_neardup_topk",
     "embeddings_centroids",
+    "crawl_pagerank",
 ]
 
 

@@ -2348,6 +2348,121 @@ ORDER BY degree
 
 
 # --------------------------------------------------------------------------
+# PageRank over the crawl's own link graph
+# --------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def crawl_pagerank(spark, sf_dir):
+    """PageRank over the intra-crawl link graph the crawler itself
+    produced: nodes = every URL in the crawl log, edges = extracted
+    links whose target was also crawled (the reference's crawl_log
+    `links` column, simple_crawler/crawler.py visit rows). Fixed-point
+    iteration, ``PAGERANK_ITERS`` rounds, damping ``PAGERANK_DAMPING``,
+    dangling mass dropped (the plain power-iteration variant — the
+    DuckDB oracle unrolls the identical recurrence, so the formula is
+    pinned, not just the plumbing).
+
+    Scale shape: each iteration is ONE shuffle — ranks join the
+    outdeg-annotated edge list on ``src`` (both sides hash-partitioned
+    on the join key), partial-aggregated ``sum(pr/outdeg)`` by ``dst``,
+    then a left join back to the node set for the teleport term. The
+    edge list is computed once and persisted; at 100 TB you would
+    bucket edges and nodes by url so every iteration's joins are
+    co-partitioned zero-exchange, and ``localCheckpoint`` every few
+    iterations to truncate the growing lineage. All arithmetic is
+    double-precision built-ins (no UDFs); the FP expression order
+    matches the oracle exactly (``pr/outdeg``, ``tele + d*mass``) so
+    results agree to well under the 6-dp rounding."""
+    from sparkcrawler.plans.crawl import read_crawl_log
+
+    log = read_crawl_log(spark, _demo_crawl_dir(spark)).select("url", "links")
+    nodes = log.select("url").persist()
+    edges = (
+        log.select(F.col("url").alias("src"), F.explode("links").alias("dst"))
+        .join(nodes.select(F.col("url").alias("dst")), "dst", "leftsemi")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = edges.join(deg, "src").persist()  # src, dst, outdeg
+
+    n = nodes.count()
+    tele = (1.0 - PAGERANK_DAMPING) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PAGERANK_ITERS):
+        mass = (
+            ew.join(ranks.withColumnRenamed("url", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("m"))
+        )
+        ranks = nodes.join(
+            mass.withColumnRenamed("dst", "url"), "url", "left"
+        ).select(
+            "url",
+            (
+                F.lit(tele)
+                + F.lit(PAGERANK_DAMPING) * F.coalesce("m", F.lit(0.0))
+            ).alias("pr"),
+        )
+    # the persisted nodes/ew stay cached for the caller's action (the
+    # 10 unrolled iterations each reference them; without the cache the
+    # collect would rescan + rebuild the edge list per iteration) —
+    # a few KB pinned per session, reclaimed with the session
+    return ranks.select(
+        "url", F.round("pr", 6).alias("pagerank")
+    ).orderBy("url")
+
+
+def _pagerank_sql() -> str:
+    """Unroll the exact recurrence as a chain of CTEs (DuckDB forbids
+    aggregates in recursive terms; a fixed iteration count needs no
+    recursion anyway). Every literal is CAST to DOUBLE — DuckDB parses
+    bare decimals as DECIMAL, whose different arithmetic would drift
+    from Spark's IEEE doubles."""
+    d = "CAST(0.85 AS DOUBLE)"
+    head = f"""
+WITH lg AS (
+  SELECT url, links
+  FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet')
+),
+nodes AS (SELECT url FROM lg),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+raw_edges AS (
+  SELECT url AS src, unnest(links) AS dst FROM lg
+),
+edges AS (
+  SELECT src, dst FROM raw_edges WHERE dst IN (SELECT url FROM nodes)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT url, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes, nn)"""
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT nodes.url,
+         (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+           + {d} * coalesce(m.m, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT ew.dst AS url, sum(r.pr / ew.outdeg) AS m
+    FROM ew JOIN r{i - 1} r ON r.url = ew.src
+    GROUP BY ew.dst
+  ) m ON m.url = nodes.url
+)""")
+    return (
+        head
+        + "," + ",".join(steps)
+        + f"\nSELECT url, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS} "
+        "ORDER BY url"
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
@@ -2403,6 +2518,7 @@ CATALOG: dict[str, QuerySpec] = {
     # link extraction differential: Spark Arrow-UDF histogram vs the
     # pure-Python extractor's histogram materialized to parquet
     "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, OUTDEG_SQL),
+    "crawl_pagerank": QuerySpec(crawl_pagerank, PAGERANK_SQL),
 }
 
 
