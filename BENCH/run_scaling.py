@@ -202,6 +202,13 @@ concurrent load corrupts the comparison). Round 5 on: every trial is
 {LOAD_GATE} (spin-wait), and the per-trial load readings are committed
 in `scaling.json` under `idle_gate` as evidence the window was clean.
 """
+    # Hand-written evidence sections (cross-sweep comparisons, A/B
+    # results) live in BASELINE_NOTES.md so a re-run of this generator
+    # cannot silently delete them — they are appended verbatim.
+    notes_path = os.path.join(HERE, "BASELINE_NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as fh:
+            md += "\n" + fh.read()
     with open(os.path.join(HERE, "BASELINE.md"), "w") as fh:
         fh.write(md)
     print(json.dumps(summary))
