@@ -218,6 +218,9 @@ HEADLINE = [
     "embeddings_neardup_topk",
     "embeddings_centroids",
     "crawl_pagerank",
+    "crawl_line_dedup",
+    "docs_decontaminate",
+    "docs_unigram_surprisal",
 ]
 
 

@@ -1215,6 +1215,147 @@ LIMIT {_TOP_TERMS_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination (13-gram overlap) + unigram-LM surprisal
+# --------------------------------------------------------------------------
+
+# Canonical eval-set decontamination gram width (GPT-3 appendix C /
+# The Pile use 13-gram collision as the contamination test).
+DECON_N = 13
+# Deterministic stand-in for the held-out benchmark: every 5th doc_id.
+DECON_BENCH_MOD = 5
+
+
+def docs_decontaminate(spark, sf_dir):
+    """Training-set decontamination: find every non-benchmark document
+    sharing at least one word 13-gram with the benchmark set, with the
+    count of distinct shared grams (the GPT-3/Pile collision rule). The
+    benchmark here is a deterministic slice of the corpus itself
+    (doc_id % DECON_BENCH_MOD == 0) so the check is self-contained; in
+    production it is the eval suites' text.
+
+    Scale shape: the benchmark side is SMALL by construction (eval
+    suites are MBs against a 100-TB corpus), so its distinct grams are
+    broadcast — the corpus side streams through scan → explode →
+    broadcast-hash-join → partial agg with NO shuffle of the corpus
+    grams; only (doc_id, gram-hit) pairs reach the one exchange for the
+    per-doc count-distinct. Gram construction is pure JVM higher-order
+    functions (sequence/slice/concat_ws, whole-stage codegen); at real
+    scale you'd xxhash64 the grams before the join to shrink the
+    broadcast — kept as strings here so the oracle comparison is exact
+    on the grams themselves. `sequence(1, n-12)` is guarded by the
+    WHERE on word count: Spark generates a DESCENDING sequence when the
+    stop is below the start, so short docs must never reach it."""
+    docs = _t(spark, sf_dir, "documents")
+    words_col = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = (
+        docs.select("doc_id", words_col.alias("words"))
+        .where(F.size("words") >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (DECON_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, DECON_N)),
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("long").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+DECON_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(words) + 1 - {DECON_N - 1}),
+           i -> array_to_string(words[i:i + {DECON_N - 1}], ' ')
+         )) AS gram
+  FROM w WHERE len(words) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT g.doc_id,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_contaminated_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+def docs_unigram_surprisal(spark, sf_dir):
+    """Perplexity-proxy quality score: per-document mean surprisal
+    −(1/n)·Σ ln p(w) under the corpus's own unigram distribution — the
+    cheap stand-in for a KenLM quality filter (CCNet-style) that needs
+    no external model. High surprisal = rare-word soup (gibberish,
+    boilerplate hashes); low = repetitive filler; both tails get cut in
+    a real pipeline.
+
+    Scale shape: the vocabulary is BOUNDED (Heaps' law — millions of
+    types against 10^10 tokens), so the unigram table is the small side:
+    one explode + partial-agg shuffle builds it, a single-partition
+    window-sum over the *vocab only* attaches the corpus total with no
+    driver action and no crossJoin, and the word→count lookup is a
+    broadcast hash join the corpus streams through. avg() of doubles
+    differs across engines only in summation order; round(·,6) absorbs
+    it (both engines' ln is the same IEEE libm contract)."""
+    words = _words(spark, sf_dir)
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    vocab_tot = vocab.withColumn(
+        "total", F.sum("c").over(Window.partitionBy())
+    )
+    return (
+        words.join(F.broadcast(vocab_tot), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("total").cast("double")
+                        / F.col("c").cast("double")
+                    )
+                ),
+                6,
+            ).alias("surprisal_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SURPRISAL_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(total / CAST(c AS DOUBLE))), 6) AS surprisal_nats
+FROM words JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def docs_winnow_fp(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): hash every char 5-gram (integer-exact
@@ -2234,6 +2375,111 @@ GROUP BY host ORDER BY host
 """
 
 
+# A line is boilerplate when it appears verbatim on at least this many
+# distinct pages (CCNet removes lines duplicated across documents —
+# nav bars, footers, cookie banners — before any document-level dedup).
+BOILER_MIN_PAGES = 10
+
+
+def crawl_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal over the crawled
+    corpus: explode every PARSED page's text into (pos, line), count
+    each distinct line's document frequency across pages, drop lines
+    appearing on ≥ BOILER_MIN_PAGES distinct pages (nav/footer/banner
+    boilerplate — in the synthetic corpus the 'offsite'/'void'/'dup'
+    link stubs every page carries), and reassemble each page's surviving
+    lines in original order. Emitted per page: line totals and the md5
+    of the cleaned text, so the oracle pins the exact reconstruction
+    without shipping full strings through the compare.
+
+    Scale shape: one shuffle builds the line-frequency table (explode →
+    partial-agg map-side, keyed on the line; the table is bounded by
+    DISTINCT lines, far below total lines), one hash join tags each
+    line occurrence with its df, and one groupBy(url) reassembles via
+    array_sort(collect_list(struct(pos,…))) — collect_list order is
+    nondeterministic, the sort on the leading pos restores it. A page
+    whose every line is boilerplate still yields a row (filter happens
+    inside the aggregate, not before it), md5 of the empty string. At
+    100 TB you'd hash lines to 64-bit before the frequency join and
+    salt the handful of mega-frequency lines; semantics unchanged."""
+    from sparkcrawler import schemas
+    from sparkcrawler.plans.crawl import read_crawl_log
+
+    out = _demo_crawl_dir(spark)
+    corpus = spark.read.parquet(_DEMO_CORPUS)
+    log = read_crawl_log(spark, out).where(
+        F.col("crawl_status") == schemas.PARSED
+    )
+    lines = (
+        log.join(corpus.select("url", "text"), "url", "left")
+        .select(
+            "url",
+            F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("url").alias("line_df")
+    )
+    flagged = lines.join(freq, "line").withColumn(
+        "kept", (F.col("line_df") < BOILER_MIN_PAGES).cast("int")
+    )
+    cleaned = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("pos", "kept", "line"))),
+                lambda s: s["kept"] == 1,
+            ),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+    return (
+        flagged.groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("kept").cast("long").alias("n_lines_kept"),
+            F.md5(cleaned.cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("url")
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH p AS (
+  SELECT l.url, coalesce(c.text, '') AS text
+  FROM read_parquet('{_DEMO_CRAWL}/crawl_log/*/*.parquet') l
+  LEFT JOIN read_parquet('{_DEMO_CORPUS}/*.parquet') c ON l.url = c.url
+  WHERE l.crawl_status = 2
+),
+lines AS (
+  SELECT url,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM p
+),
+freq AS (
+  SELECT line, count(DISTINCT url) AS line_df FROM lines GROUP BY line
+),
+flagged AS (
+  SELECT l.url, l.pos, l.line,
+         CASE WHEN f.line_df < {BOILER_MIN_PAGES} THEN 1 ELSE 0 END AS kept
+  FROM lines l JOIN freq f USING (line)
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(kept) AS BIGINT) AS n_lines_kept,
+       md5(coalesce(
+         string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept = 1),
+         ''
+       )) AS clean_md5
+FROM flagged
+GROUP BY url
+ORDER BY url
+"""
+
+
 CORPUS_KEPT_SQL = f"""
 WITH parsed AS (
   SELECT l.url, l.depth, coalesce(c.text, '') AS text
@@ -2493,6 +2739,9 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_gopher_quality_arrow": QuerySpec(
         docs_gopher_quality_arrow, GOPHER_SQL),
     "corpus_top_terms": QuerySpec(corpus_top_terms, TOP_TERMS_SQL),
+    "docs_decontaminate": QuerySpec(docs_decontaminate, DECON_SQL),
+    "docs_unigram_surprisal": QuerySpec(
+        docs_unigram_surprisal, SURPRISAL_SQL),
     "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
     # Arrow-pass twins: same results, zero-shuffle mapInPandas plans —
     # verified against the SAME DuckDB oracles as their relational forms
@@ -2515,6 +2764,7 @@ CATALOG: dict[str, QuerySpec] = {
     # the composed crawl→training-corpus emit (dedup + quality gate)
     "crawl_corpus_kept": QuerySpec(crawl_corpus_kept, CORPUS_KEPT_SQL),
     "crawl_host_rates": QuerySpec(crawl_host_rates, HOST_RATES_SQL),
+    "crawl_line_dedup": QuerySpec(crawl_line_dedup, LINE_DEDUP_SQL),
     # link extraction differential: Spark Arrow-UDF histogram vs the
     # pure-Python extractor's histogram materialized to parquet
     "pages_outdegree_hist": QuerySpec(pages_outdegree_hist, OUTDEG_SQL),
