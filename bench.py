@@ -215,6 +215,7 @@ HEADLINE = [
     "docs_gopher_quality_arrow",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embeddings_neardup_topk",
     "embeddings_centroids",
     "crawl_pagerank",

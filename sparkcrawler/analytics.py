@@ -1821,6 +1821,199 @@ LIMIT 10
 """
 
 
+# IVF coarse quantizer: K inverted lists seeded from deterministic
+# sample vectors (FAISS trains its coarse centroids from a sample; the
+# unrefined sampled-centroid variant keeps assignment integer-exact
+# cross-engine — Lloyd refinement would put float averaging, whose
+# summation order differs per engine, inside the index definition).
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def _ivf_assign(spark, sf_dir):
+    """(vec_id, label, e, cluster, dist) for every vector incl. the
+    query row: nearest of the K anchor vectors by squared-L2 over
+    floor(1e4·x) integer components — dist = ‖c‖² − 2e·c (the ‖e‖²
+    term is constant per vector and cannot change the argmin). All
+    arithmetic is exact int64, so the assignment is bit-identical in
+    any engine and any evaluation order; ties break on anchor id
+    inside the fold itself because collect_list order is free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    eint = emb.select(
+        "vec_id",
+        "label",
+        _dbl("embedding").alias("e"),
+        F.transform(
+            _dbl("embedding"), lambda v: F.floor(v * 10000)
+        ).alias("ei"),
+    )
+    anchors = (
+        eint.where(F.col("vec_id").between(1, IVF_K))
+        .select(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").cast("int").alias("aid"),
+                    F.col("ei").alias("c"),
+                    F.aggregate(
+                        "ei", F.lit(0).cast("long"), lambda a, x: a + x * x
+                    ).alias("n2"),
+                )
+            ).alias("anchors")
+        )
+    )
+    dot_a = lambda a: F.aggregate(
+        F.zip_with("ei", a["c"], lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        F.col("anchors"),
+        F.struct(
+            F.lit(2**62).cast("long").alias("dist"),
+            F.lit(-1).cast("int").alias("aid"),
+        ),
+        lambda acc, a: F.when(
+            (a["n2"] - 2 * dot_a(a) < acc["dist"])
+            | ((a["n2"] - 2 * dot_a(a) == acc["dist"]) & (a["aid"] < acc["aid"])),
+            F.struct(
+                (a["n2"] - 2 * dot_a(a)).alias("dist"), a["aid"].alias("aid")
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        eint.join(F.broadcast(anchors))
+        .withColumn("b", best)
+        .select(
+            "vec_id", "label", "e",
+            F.col("b.aid").alias("cluster"),
+            F.col("b.dist").alias("dist"),
+        )
+    )
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the other classic scale path next to the
+    hyperplane-LSH index): every vector is assigned to its nearest of
+    IVF_K=16 sampled coarse centroids (integer-exact L2, `_ivf_assign`),
+    the query probes its IVF_NPROBE=4 nearest inverted lists, and exact
+    cosine re-ranks only those lists' members. At 10^10 vectors the
+    inverted lists are the partition key of a materialized index (the
+    ann.py LSH index shows the partition-pruned layout); here the lists
+    are computed in-plan so the DuckDB oracle can verify ASSIGNMENT and
+    probe selection, not just the final ranking.
+
+    Scale shape: the K anchors collapse to ONE broadcast row
+    (collect_list into a single struct array — no driver collect, no
+    py4j literals), assignment is a map-side HOF fold over that array
+    (scan → broadcast join → project, zero exchanges, nested
+    aggregate/zip_with stays in codegen), probe selection is a
+    rank-over-16-rows on the query's own distances, and the candidate
+    fetch is a broadcast semi-join on cluster id. ‖e‖² is dropped from
+    the argmin (constant per row) so every compared quantity is exact
+    int64."""
+    assigned = _ivf_assign(spark, sf_dir)
+    # the query's NPROBE nearest anchors: rank its 16 anchor distances
+    emb = _t(spark, sf_dir, "embeddings")
+    eint_q = emb.where(F.col("vec_id") == 0).select(
+        F.transform(_dbl("embedding"), lambda v: F.floor(v * 10000)).alias("qi")
+    )
+    anch = (
+        emb.where(F.col("vec_id").between(1, IVF_K))
+        .select(
+            F.col("vec_id").cast("int").alias("aid"),
+            F.transform(_dbl("embedding"), lambda v: F.floor(v * 10000)).alias("ci"),
+        )
+    )
+    qdist = (
+        anch.join(F.broadcast(eint_q))
+        .select(
+            "aid",
+            (
+                F.aggregate("ci", F.lit(0).cast("long"), lambda a, x: a + x * x)
+                - 2
+                * F.aggregate(
+                    F.zip_with("ci", "qi", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+    )
+    w = Window.orderBy("dist", "aid")
+    probes = (
+        qdist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("aid").alias("cluster"))
+    )
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    q = F.array(*[F.lit(v) for v in qv])
+    dot = F.aggregate(
+        F.zip_with("e", q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm_e = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    norm_q = F.sqrt(F.aggregate(q, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        assigned.where(F.col("vec_id") > 0)
+        .join(F.broadcast(probes), "cluster", "leftsemi")
+        .withColumn("cos", F.round(dot / (norm_e * norm_q), 4))
+        .select("vec_id", "label", "cluster", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_sql() -> str:
+    """Relational twin of the IVF pipeline: explode to (vec_id, d,
+    e_int), join on dimension against the K anchor vectors, exact
+    integer dists, argmin per vector, query's top-NPROBE lists, cosine
+    re-rank (same round-4dp contract as the other ANN oracles)."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(floor(val * 10000) AS BIGINT) AS e_int, d
+  FROM (SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               generate_subscripts(embedding, 1) - 1 AS d
+        FROM embeddings)
+),
+anch AS (
+  SELECT vec_id AS aid, d, e_int AS c_int FROM ex
+  WHERE vec_id BETWEEN 1 AND {IVF_K}
+),
+an2 AS (SELECT aid, CAST(sum(c_int * c_int) AS BIGINT) AS n2
+        FROM anch GROUP BY aid),
+dists AS (
+  SELECT e.vec_id, a.aid,
+         CAST(an2.n2 - 2 * sum(e.e_int * a.c_int) AS BIGINT) AS dist
+  FROM ex e JOIN anch a USING (d) JOIN an2 ON an2.aid = a.aid
+  GROUP BY e.vec_id, a.aid, an2.n2
+),
+assign AS (
+  SELECT vec_id, aid AS cluster
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, aid) = 1
+),
+probes AS (
+  SELECT aid AS cluster FROM dists WHERE vec_id = 0
+  QUALIFY row_number() OVER (ORDER BY dist, aid) <= {IVF_NPROBE}
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, s.cluster,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+FROM embeddings e
+JOIN assign s USING (vec_id)
+JOIN probes p ON p.cluster = s.cluster, q
+WHERE e.vec_id > 0
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()
+
+
 def embeddings_neardup_topk(spark, sf_dir):
     """Embedding-cosine near-dup candidates at scale: pairs are
     generated ONLY within hyperplane-LSH buckets (the same integer-exact
@@ -2752,6 +2945,7 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, ANN_LSH_SQL),
+    "ann_ivf_topk": QuerySpec(ann_ivf_topk, ANN_IVF_SQL),
     "embeddings_centroids": QuerySpec(embeddings_centroids, CENTROID_SQL),
     "embeddings_label_norms": QuerySpec(embeddings_label_norms, NORMS_SQL),
     "robots_parse_dim": QuerySpec(robots_parse_dim, ROBOTS_PARSE_SQL),

@@ -210,3 +210,36 @@ def test_probe_buckets_radius_3():
     assert len(probe_buckets(0, hamming=3, n_planes=12)) == (
         1 + comb(12, 1) + comb(12, 2) + comb(12, 3)
     )
+
+
+def test_ivf_assignment_and_recall(spark):
+    """IVF-flat (sampled coarse centroids, integer-exact L2 argmin):
+    every vector lands in exactly one of the K inverted lists, anchors
+    self-assign (their own list is their L2 argmin by construction),
+    the probed lists cover a sublinear candidate fraction, and recall
+    beats the random-scan baseline (recall ≈ fraction) by ≥1.5×."""
+    from sparkcrawler.analytics import (
+        CATALOG, IVF_K, IVF_NPROBE, _ivf_assign,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assigned = _ivf_assign(spark, sf).collect()
+    clusters = {r["vec_id"]: r["cluster"] for r in assigned}
+    assert set(clusters.values()) <= set(range(1, IVF_K + 1))
+    for aid in range(1, IVF_K + 1):
+        assert clusters[aid] == aid  # anchors self-assign
+    got = [tuple(r) for r in CATALOG["ann_ivf_topk"].spark(spark, sf).collect()]
+    assert len(got) == 10
+    probed = {c for _, _, c, _ in got}
+    assert len(probed) <= IVF_NPROBE
+    brute = {
+        r["vec_id"]
+        for r in CATALOG["ann_cosine_topk"].spark(spark, sf).collect()
+    }
+    n = len(clusters) - 1  # excl. query row
+    # candidate fraction actually scanned: members of the probed lists
+    qprobes = {c for v, c in clusters.items() if v in {g[0] for g in got}}
+    frac = sum(1 for v, c in clusters.items() if c in qprobes and v > 0) / n
+    recall = len(brute & {g[0] for g in got}) / 10
+    assert frac < 0.5, frac
+    assert recall >= 1.5 * frac, (recall, frac)
