@@ -222,6 +222,7 @@ HEADLINE = [
     "crawl_line_dedup",
     "docs_decontaminate",
     "docs_unigram_surprisal",
+    "docs_tfidf_topk",
 ]
 
 

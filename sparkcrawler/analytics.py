@@ -1356,6 +1356,81 @@ ORDER BY doc_id
 """
 
 
+TFIDF_TOPN = 3
+
+
+def docs_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic keyword/topic
+    signal a corpus profiler emits next to the quality scores. tf is
+    the in-doc count, idf = ln(N/df) with N the corpus size and df the
+    term's document frequency. Ranking happens on the 6-dp ROUNDED
+    score (then term asc) so both engines rank the same numbers — raw
+    double ordering could flip at a 1-ulp ln() difference.
+
+    Scale shape: one explode feeds a map-side partial agg on
+    (doc_id, term) — per-doc terms co-reside in the scan task — one
+    exchange; df reuses the same shuffled layout (term already a key);
+    N attaches like the surprisal total: a single-partition window over
+    the BOUNDED df table, broadcast back. The per-doc top-3 window
+    partitions on doc_id, which the tf aggregate already hashed on."""
+    words = _words(spark, sf_dir)
+    tf = words.groupBy("doc_id", F.col("w").alias("term")).agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = words.select("doc_id").distinct().select(
+        F.count("*").cast("double").alias("n")
+    )
+    dfn = df_.join(F.broadcast(n_docs))
+    scored = tf.join(F.broadcast(dfn), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("n") / F.col("df").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOPN)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, w
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM words),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOPN}
+ORDER BY doc_id, rk
+"""
+
+
 def docs_winnow_fp(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
     the MOSS algorithm): hash every char 5-gram (integer-exact
@@ -2935,6 +3010,7 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_decontaminate": QuerySpec(docs_decontaminate, DECON_SQL),
     "docs_unigram_surprisal": QuerySpec(
         docs_unigram_surprisal, SURPRISAL_SQL),
+    "docs_tfidf_topk": QuerySpec(docs_tfidf_topk, TFIDF_SQL),
     "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
     # Arrow-pass twins: same results, zero-shuffle mapInPandas plans —
     # verified against the SAME DuckDB oracles as their relational forms
