@@ -223,6 +223,7 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_unigram_surprisal",
     "docs_tfidf_topk",
+    "docs_dup_spans",
 ]
 
 

@@ -1356,6 +1356,144 @@ ORDER BY doc_id
 """
 
 
+# Duplicated-substring spans (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): anchor width in tokens. Their
+# suffix-array pass finds exact repeats ≥ L tokens; this is the
+# distributed n-gram-anchored approximation — a position is covered
+# when its W-token gram occurs ≥2 times corpus-wide, and covered
+# positions merge into maximal spans (misses repeats < W, may bridge
+# gaps < W; exact integer interval arithmetic otherwise).
+DUPSPAN_W = 10
+
+
+def docs_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-substring spans: every token position
+    whose W-token gram appears at least twice in the corpus is 'covered';
+    per document, covered positions merge into maximal spans (classic
+    interval-merge via a running-max window — is_new when the position
+    starts past every previous span's end), and the doc reports its span
+    count and total duplicated-token mass. This is the signal the
+    substring-dedup pass cuts on (drop or trim docs whose dup mass is
+    high) — document-level MinHash misses it when only a paragraph is
+    copied.
+
+    Scale shape: gram construction is the same JVM HOF pipeline as the
+    decontamination op (no UDFs); ONE shuffle keyed on the gram builds
+    the ≥2-occurrence set with map-side partial counts (the join-back
+    side is the aggregated (gram, count) table, never raw positions);
+    the interval merge windows over HIT positions only — a tiny
+    fraction of the corpus — partitioned by doc_id. All arithmetic is
+    int64-exact, so the oracle matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    words_col = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = (
+        docs.select("doc_id", words_col.alias("words"))
+        .where(F.size("words") >= DUPSPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (DUPSPAN_W - 1)),
+                    lambda i: F.struct(
+                        (i - 1).cast("int").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("words"), i, DUPSPAN_W)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = hits.withColumn(
+        "is_new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("pos").over(w_prev), F.lit(-DUPSPAN_W))
+            + (DUPSPAN_W - 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("is_new").over(w_run))
+    spans = flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("st"),
+        (F.max("pos") + (DUPSPAN_W - 1)).alias("en"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("en") - F.col("st") + 1).cast("long").alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUPSPAN_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(words) + 2 - {DUPSPAN_W}),
+           i -> array_to_string(words[i:i + {DUPSPAN_W - 1}], ' ')
+         )) AS gram,
+         unnest(range(1, len(words) + 2 - {DUPSPAN_W})) - 1 AS pos
+  FROM w WHERE len(words) >= {DUPSPAN_W}
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pmax
+  FROM hits
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pmax IS NULL OR pos > pmax + {DUPSPAN_W - 1}
+              THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+         ) AS span_id
+  FROM f
+),
+spans AS (
+  SELECT doc_id, span_id, min(pos) AS st, max(pos) + {DUPSPAN_W - 1} AS en
+  FROM s GROUP BY doc_id, span_id
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 TFIDF_TOPN = 3
 
 
@@ -3011,6 +3149,7 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_unigram_surprisal": QuerySpec(
         docs_unigram_surprisal, SURPRISAL_SQL),
     "docs_tfidf_topk": QuerySpec(docs_tfidf_topk, TFIDF_SQL),
+    "docs_dup_spans": QuerySpec(docs_dup_spans, DUPSPAN_SQL),
     "docs_winnow_fp": QuerySpec(docs_winnow_fp, WINNOW_SQL),
     # Arrow-pass twins: same results, zero-shuffle mapInPandas plans —
     # verified against the SAME DuckDB oracles as their relational forms
