@@ -224,6 +224,10 @@ HEADLINE = [
     "docs_unigram_surprisal",
     "docs_tfidf_topk",
     "docs_dup_spans",
+    "docs_pii_scrub",
+    "docs_nfc_norm",
+    "docs_sample_hash",
+    "docs_pack_sequences",
 ]
 
 

@@ -3115,6 +3115,264 @@ PAGERANK_SQL = _pagerank_sql()
 
 
 # --------------------------------------------------------------------------
+# Privacy / normalization / sampling / packing — the remaining
+# curation stages of a training-data pipeline (beyond the reference's
+# crawl surface, like the dedup + quality ops above). The testdata
+# corpus carries no real PII or non-NFC text, so each op first injects
+# a deterministic doc_id-derived payload IN THE QUERY on both engines
+# — the detection/redaction/normalization logic then has real work to
+# do and the oracle checks it byte-for-byte (md5 of the cleaned text).
+# --------------------------------------------------------------------------
+
+# RE2 (DuckDB) and java.util.regex (Spark) evaluate these identically:
+# character classes + bounded/greedy quantifiers only, no lookarounds,
+# no backreferences.
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def _pii_augmented(docs: DataFrame):
+    """text + deterministic synthetic PII: every doc gets an email,
+    even doc_ids an IPv4, doc_id%3==0 a phone — so per-doc counts vary
+    and the redactor is exercised on 0/1/2/3-hit documents alike."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"), sid, F.lit("@mail.example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 7) % 250).cast("string"),
+                F.lit(".9"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def docs_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, IPv4s, phone numbers), the
+    privacy-scrub stage every published web-text pipeline runs before
+    training. Pure JVM builtins — regexp_count for detection,
+    three chained regexp_replace for redaction — one scan, zero
+    shuffle before the final sort; the oracle pins the redacted text
+    byte-for-byte via md5."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    aug = docs.withColumn("t", _pii_augmented(docs))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE, "<IP>"),
+        _PII_PHONE_RE, "<PHONE>")
+    return aug.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("t", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count("t", F.lit(_PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         text
+         || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 250 AS VARCHAR) || '.9'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, lang, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_IP_RE}', '<IP>', 'g'),
+           '{_PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id, lang,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       length(clean) AS clean_len,
+       md5(clean) AS clean_md5
+FROM scrub ORDER BY doc_id
+"""
+
+
+# Combining marks appended so NFC has real compositions to perform:
+# e+U+0301 -> é, u+U+0308 -> ü, o+U+0303 -> õ (all three compose, so
+# len_raw - len_nfc == 3 exactly when the normalizer works).
+_NFC_SUFFIX = " cafe\u0301 u\u0308ber no\u0303"  # DECOMPOSED (combining marks)
+
+
+def docs_nfc_norm(spark, sf_dir):
+    """Unicode NFC normalization — canonical-composition pass every
+    multilingual corpus needs before tokenization (decomposed and
+    precomposed spellings of the same word must hash/dedup together).
+    Spark has no NFC builtin, so this is a mapInPandas Arrow pass over
+    ``unicodedata.normalize`` (stdlib, same tables as DuckDB's utf8proc
+    for these sequences); zero shuffle before the final sort. The
+    oracle (DuckDB ``nfc_normalize``) pins the normalized bytes via
+    md5."""
+    import unicodedata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compute(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, lraw, lnfc, ncomp, md5s = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                raw = text + _NFC_SUFFIX
+                nfc = unicodedata.normalize("NFC", raw)
+                ids.append(doc_id)
+                lraw.append(len(raw))
+                lnfc.append(len(nfc))
+                ncomp.append(len(raw) - len(nfc))
+                md5s.append(hashlib.md5(nfc.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "len_raw": lraw, "len_nfc": lnfc,
+                 "n_composed": ncomp, "nfc_md5": md5s}
+            )
+
+    return docs.mapInPandas(
+        compute,
+        schema="doc_id long, len_raw long, len_nfc long, "
+               "n_composed long, nfc_md5 string",
+    ).orderBy("doc_id")
+
+
+NFC_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no'
+              || chr(771) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       length(raw) AS len_raw,
+       length(nfc_normalize(raw)) AS len_nfc,
+       length(raw) - length(nfc_normalize(raw)) AS n_composed,
+       md5(nfc_normalize(raw)) AS nfc_md5
+FROM aug ORDER BY doc_id
+"""
+
+
+def docs_sample_hash(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: keep 10% of 'en'
+    and 40% of every other language — the rebalancing step a
+    multilingual training mix uses to up-weight low-resource
+    languages. The sampling key is content-derived (md5-prefix of the
+    text, the cross-engine-exact conv recipe from the MinHash ops), so
+    the decision is reproducible across engines, runs, AND cluster
+    sizes — no RNG, no per-partition state, embarrassingly parallel at
+    100 TB (a pure filter: pushes below any downstream shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 7), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(40))
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang,
+       ('0x' || substr(md5(text), 1, 7))::BIGINT % 100 AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(text), 1, 7))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+ORDER BY doc_id
+"""
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def docs_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents are concatenated in
+    doc_id order into fixed-budget token sequences (budget 256) and
+    each doc reports which packed sequences it lands in. Packing is
+    PER SOURCE (the window partitions on ``source``), which is how a
+    100-TB pipeline shards it — each shard packs independently, so the
+    window never sees more than one shard's rows and no global sort or
+    single-partition window exists. One shuffle (the window partition),
+    then pure arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    cum = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        cum.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.floor(F.col("start_tok") / _PACK_BUDGET).alias("seq_first"),
+            F.floor(
+                (F.col("start_tok") + F.col("n_tokens") - 1) / _PACK_BUDGET
+            ).alias("seq_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_tok,
+       start_tok // {_PACK_BUDGET} AS seq_first,
+       (start_tok + n_tokens - 1) // {_PACK_BUDGET} AS seq_last
+FROM cum WHERE n_tokens > 0 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
@@ -3156,6 +3414,10 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_minhash_arrow": QuerySpec(docs_minhash_arrow, MINHASH_SQL),
     "docs_winnow_fp_arrow": QuerySpec(docs_winnow_fp_arrow, WINNOW_SQL),
     "docs_simhash_arrow": QuerySpec(docs_simhash_arrow, SIMHASH_SQL),
+    "docs_pii_scrub": QuerySpec(docs_pii_scrub, PII_SQL),
+    "docs_nfc_norm": QuerySpec(docs_nfc_norm, NFC_SQL),
+    "docs_sample_hash": QuerySpec(docs_sample_hash, SAMPLE_SQL),
+    "docs_pack_sequences": QuerySpec(docs_pack_sequences, PACK_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
