@@ -26,8 +26,40 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
+# Explicit schemas for the driver-provided testdata tables: a scan
+# should never pay driver-side footer/schema inference per query — at
+# 100 TB the footer listing alone is a distributed job, and even here
+# it is 0.1-2s of py4j/driver latency on EVERY _t() call. Matches the
+# parquet files bit-for-bit (generated from their arrow schemas).
+_TESTDATA_DDL = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey bigint, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, "
+                "s_acctbal double",
+    "part": "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp_ntz, "
+              "o_orderpriority string",
+    "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+                "l_linenumber int, l_quantity double, "
+                "l_extendedprice double, l_discount double, l_tax double, "
+                "l_returnflag string, l_linestatus string, "
+                "l_shipdate timestamp_ntz",
+    "events": "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string",
+    "documents": "doc_id bigint, text string, lang string, source string, "
+                 "n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ddl = _TESTDATA_DDL.get(name)
+    reader = spark.read.schema(ddl) if ddl else spark.read
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
 
 
 @dataclass(frozen=True)
@@ -3372,6 +3404,187 @@ FROM cum WHERE n_tokens > 0 ORDER BY doc_id
 """
 
 
+def docs_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: a fixed-weight logistic regression
+    over cheap text features (log length, stopword ratio, mean word
+    length, non-alpha penalty) — the fastText/CCNet-style "quality
+    classifier" stage of a web-text pipeline, with the trained weights
+    pinned as constants so the op is deterministic and cross-engine
+    exact. Every feature is built from JVM HOFs in one codegen'd
+    Project (no UDF, no shuffle before the output sort); the sigmoid
+    is plain IEEE double math both engines round to 6dp."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    stop = F.filter(
+        words, lambda w: w.isin("the", "a", "join", "group", "order")
+    )
+    n_tokens = F.size(words).cast("long")
+    n_stop = F.size(stop).cast("long")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    feats = docs.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        sum_wlen.alias("sum_wlen"),
+        n_alpha.cast("long").alias("n_alpha"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).where(F.col("n_tokens") > 0)
+    z = (
+        F.lit(-6.0)
+        + F.lit(1.1) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(8.0) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(0.35) * (F.col("sum_wlen").cast("double") / F.col("n_tokens"))
+        - F.lit(2.5)
+        * (F.lit(1.0) - F.col("n_alpha").cast("double") / F.col("n_chars"))
+    )
+    quality = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id", "lang", "n_tokens",
+        F.round(quality, 6).alias("quality"),
+        (quality >= 0.5).cast("long").alias("keep_flag"),
+    ).orderBy("doc_id")
+
+
+CLS_SQL = """
+WITH feats AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split(text,' '), w -> w <> ''))
+         AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(text,' '),
+         w -> w IN ('the','a','join','group','order')))
+         AS BIGINT) AS n_stop,
+    CAST(list_sum(list_transform(
+           list_filter(string_split(text,' '), w -> w <> ''),
+           w -> length(w))) AS BIGINT) AS sum_wlen,
+    length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+    length(text) AS n_chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(-6.0 AS DOUBLE)
+    + CAST(1.1 AS DOUBLE) * ln(CAST(1 + n_tokens AS DOUBLE))
+    + CAST(8.0 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n_tokens)
+    + CAST(0.35 AS DOUBLE) * (CAST(sum_wlen AS DOUBLE) / n_tokens)
+    - CAST(2.5 AS DOUBLE)
+      * (CAST(1.0 AS DOUBLE) - CAST(n_alpha AS DOUBLE) / n_chars) AS z
+  FROM feats WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens,
+       round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z)), 6)
+         AS quality,
+       CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-z))
+            >= CAST(0.5 AS DOUBLE) AS BIGINT) AS keep_flag
+FROM scored ORDER BY doc_id
+"""
+
+
+def corpus_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: rank words by corpus frequency and
+    report each top-100 word's cumulative share of all tokens — the
+    diagnostic a tokenizer-budget decision reads (how many vocab
+    entries cover 90% of the stream). The heavy part (per-word counts)
+    is ONE map-side-partial groupBy over the token stream; the ranking
+    window then runs on the BOUNDED vocab table only (31 distinct
+    words here; ≤ a few million at 100 TB — the standard bounded-dim
+    single-partition window, same justification as
+    :func:`docs_unigram_surprisal`), never on the token stream."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    counts = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w_rank).alias("rank"),
+        F.col("w").alias("word"),
+        "n",
+        (
+            F.sum("n").over(w_cum).cast("double")
+            / F.sum("n").over(w_all)
+        ).alias("share"),
+    )
+    return (
+        ranked.where(F.col("rank") <= 100)
+        .select("rank", "word", "n", F.round("share", 6).alias("cum_share"))
+        .orderBy("rank")
+    )
+
+
+VOCAB_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
+  FROM documents
+),
+counts AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+ranked AS (
+  SELECT w, n,
+         row_number() OVER (ORDER BY n DESC, w) AS rank,
+         sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS tot
+  FROM counts
+)
+SELECT rank, w AS word, CAST(n AS BIGINT) AS n,
+       round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+FROM ranked WHERE rank <= 100 ORDER BY rank
+"""
+
+
+def corpus_mix_weights(spark, sf_dir):
+    """Data-mixing weights: per-source token tallies and the sampling
+    weight that flattens the mix toward a uniform per-source token
+    budget (weight = min(1, fair_share / actual)) — the knob a
+    training-mix spec turns to stop one crawl source from dominating.
+    One map-side-partial groupBy over the corpus; the share/weight
+    arithmetic runs on the bounded source dim (20 rows) via a
+    full-frame window, never touching the token stream again."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    ).cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    t = F.sum("n_tokens").over(w_all).cast("double")
+    k = F.count(F.lit(1)).over(w_all).cast("double")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / t, 6).alias("token_share"),
+        F.round(
+            F.least(F.lit(1.0), (t / k) / F.col("n_tokens")), 6
+        ).alias("sample_weight"),
+    ).orderBy("source")
+
+
+MIX_SQL = """
+WITH toks AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text,' '), w -> w <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM toks)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot.t, 6) AS token_share,
+       round(least(CAST(1.0 AS DOUBLE),
+             (CAST(tot.t AS DOUBLE) / tot.k) / n_tokens), 6)
+         AS sample_weight
+FROM toks, tot ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -3418,6 +3631,9 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_nfc_norm": QuerySpec(docs_nfc_norm, NFC_SQL),
     "docs_sample_hash": QuerySpec(docs_sample_hash, SAMPLE_SQL),
     "docs_pack_sequences": QuerySpec(docs_pack_sequences, PACK_SQL),
+    "docs_quality_classifier": QuerySpec(docs_quality_classifier, CLS_SQL),
+    "corpus_vocab_coverage": QuerySpec(corpus_vocab_coverage, VOCAB_SQL),
+    "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
