@@ -228,6 +228,9 @@ HEADLINE = [
     "docs_nfc_norm",
     "docs_sample_hash",
     "docs_pack_sequences",
+    "docs_quality_classifier",
+    "corpus_vocab_coverage",
+    "corpus_mix_weights",
 ]
 
 
