@@ -231,6 +231,8 @@ HEADLINE = [
     "docs_quality_classifier",
     "corpus_vocab_coverage",
     "corpus_mix_weights",
+    "docs_dedup_incremental",
+    "docs_snapshot_diff",
 ]
 
 

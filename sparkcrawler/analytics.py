@@ -3585,6 +3585,125 @@ FROM toks, tot ORDER BY source
 """
 
 
+def docs_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: a new arrival batch is deduplicated
+    WITHIN itself (first arrival per content hash wins) and AGAINST
+    the existing corpus — the continuous-crawl form of exact dedup,
+    where only the day's batch is reprocessed, never the 100-TB
+    corpus (which contributes only its distinct hashes; in the crawl
+    engine proper the same contract runs behind the Bloom pre-filter,
+    operators/seen.py). Corpus = even doc_ids; arrivals = odd doc_ids
+    plus deterministic re-tagged copies of corpus texts (doc_id%10==0)
+    and within-batch duplicates (doc_id%20==1) so both suppression
+    paths do real work. One shuffle each side on the content hash;
+    the anti-join is hash-partitioned on the same key."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    arrivals = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").alias("arrival_id"), "text")
+        .unionAll(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("arrival_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 20 == 1).select(
+                (F.col("doc_id") + 200000).alias("arrival_id"), "text"
+            )
+        )
+    )
+    w = Window.partitionBy("h").orderBy("arrival_id")
+    batch = (
+        arrivals.select(
+            "arrival_id", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        batch.join(corpus, "h", "left_anti")
+        .select("arrival_id", F.col("h").alias("text_hash"))
+        .orderBy("arrival_id")
+    )
+
+
+INC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+arrivals AS (
+  SELECT doc_id AS arrival_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 1
+),
+batch AS (
+  SELECT arrival_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY arrival_id)
+           AS rn
+  FROM arrivals
+)
+SELECT b.arrival_id, b.h AS text_hash
+FROM batch b LEFT JOIN corpus c ON b.h = c.h
+WHERE b.rn = 1 AND c.h IS NULL
+ORDER BY b.arrival_id
+"""
+
+
+def docs_snapshot_diff(spark, sf_dir):
+    """Snapshot delta: which content entered, left, or persisted
+    between two corpus snapshots (A = even doc_ids, B = doc_id%3!=0 —
+    deterministic overlapping slices so all three statuses occur) —
+    the audit query a recurring-crawl pipeline runs per snapshot pair.
+    Each side collapses to (hash, min doc_id) with map-side partial
+    aggs; the full-outer join runs hash-partitioned on the same key,
+    so text crosses the wire exactly once per side."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def side(pred):
+        return (
+            docs.where(pred)
+            .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.min("doc_id").alias("rep"))
+        )
+
+    a = side(F.col("doc_id") % 2 == 0).withColumnRenamed("rep", "rep_a")
+    b = side(F.col("doc_id") % 3 != 0).withColumnRenamed("rep", "rep_b")
+    return (
+        a.join(b, "h", "full_outer")
+        .select(
+            F.col("h").alias("text_hash"),
+            F.when(F.col("rep_a").isNull(), "added")
+            .when(F.col("rep_b").isNull(), "removed")
+            .otherwise("kept")
+            .alias("status"),
+            F.coalesce("rep_b", "rep_a").alias("rep_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (SELECT md5(text) AS h, min(doc_id) AS rep_a FROM documents
+           WHERE doc_id % 2 = 0 GROUP BY md5(text)),
+b AS (SELECT md5(text) AS h, min(doc_id) AS rep_b FROM documents
+      WHERE doc_id % 3 != 0 GROUP BY md5(text))
+SELECT coalesce(a.h, b.h) AS text_hash,
+       CASE WHEN a.h IS NULL THEN 'added'
+            WHEN b.h IS NULL THEN 'removed'
+            ELSE 'kept' END AS status,
+       coalesce(rep_b, rep_a) AS rep_doc_id
+FROM a FULL OUTER JOIN b ON a.h = b.h
+ORDER BY text_hash
+"""
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -3634,6 +3753,8 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_quality_classifier": QuerySpec(docs_quality_classifier, CLS_SQL),
     "corpus_vocab_coverage": QuerySpec(corpus_vocab_coverage, VOCAB_SQL),
     "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_SQL),
+    "docs_dedup_incremental": QuerySpec(docs_dedup_incremental, INC_DEDUP_SQL),
+    "docs_snapshot_diff": QuerySpec(docs_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
