@@ -233,6 +233,7 @@ HEADLINE = [
     "corpus_mix_weights",
     "docs_dedup_incremental",
     "docs_snapshot_diff",
+    "docs_simhash_neardup",
 ]
 
 

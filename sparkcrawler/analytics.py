@@ -3704,6 +3704,102 @@ ORDER BY text_hash
 """
 
 
+_SIMHASH_HAMMING_MAX = 5
+
+
+def docs_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate pairs via 4×16-bit banding — the
+    Manku/Jain/Sarma (WWW'07) web-scale simhash dedup join: any pair
+    within Hamming distance 3 of a 64-bit simhash shares at least one
+    of the 4 bands verbatim (pigeonhole), so exact-match band buckets
+    generate the candidates (67× fewer than all-pairs here) and the
+    exact `bit_count(xor)` distance is computed only on those. The
+    signature comes from the zero-shuffle Arrow pass
+    (:func:`docs_simhash_arrow` — value-identical to the relational
+    form, both hash-verified); candidates self-join on (band, value),
+    never on the corpus. Threshold 5 keeps recall past the pigeonhole
+    guarantee; at 100 TB you re-probe with rotated band splits instead
+    of raising the threshold."""
+    sh = docs_simhash_arrow(spark, sf_dir)  # (doc_id, lo, hi) — unordered use
+    bands = sh.selectExpr(
+        "doc_id", "simhash_lo", "simhash_hi",
+        "explode(array("
+        "  struct(0 AS b, CAST(simhash_lo & 65535 AS BIGINT) AS bv),"
+        "  struct(1 AS b, CAST(shiftright(simhash_lo, 16) & 65535 AS BIGINT) AS bv),"
+        "  struct(2 AS b, CAST(simhash_hi & 65535 AS BIGINT) AS bv),"
+        "  struct(3 AS b, CAST(shiftright(simhash_hi, 16) & 65535 AS BIGINT) AS bv)"
+        ")) AS band",
+    ).select("doc_id", "simhash_lo", "simhash_hi", "band.b", "band.bv")
+    a = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("id_a")
+    )
+    c = bands.select(
+        F.col("b"), F.col("bv"), F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(c, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+    )
+    y = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+    )
+    return (
+        cand.join(x, "id_a").join(y, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("lo_a ^ lo_b"))
+            + F.bit_count(F.expr("hi_a ^ hi_b")),
+        )
+        .where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    base = SIMHASH_SQL.strip().rsplit("ORDER BY doc_id", 1)[0]
+    return f"""
+WITH sh AS ({base}),
+bands AS (
+  SELECT doc_id, simhash_lo, simhash_hi, b,
+         CASE b
+           WHEN 0 THEN simhash_lo & 65535
+           WHEN 1 THEN (simhash_lo // 65536) & 65535
+           WHEN 2 THEN simhash_hi & 65535
+           ELSE (simhash_hi // 65536) & 65535
+         END AS bv
+  FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_a,
+                  greatest(a.doc_id, c.doc_id) AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+               AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(x.simhash_lo, y.simhash_lo))
+            + bit_count(xor(x.simhash_hi, y.simhash_hi)) AS BIGINT)
+         AS hamming
+FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+WHERE bit_count(xor(x.simhash_lo, y.simhash_lo))
+      + bit_count(xor(x.simhash_hi, y.simhash_hi))
+      <= {_SIMHASH_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
+
+
+SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -3755,6 +3851,7 @@ CATALOG: dict[str, QuerySpec] = {
     "corpus_mix_weights": QuerySpec(corpus_mix_weights, MIX_SQL),
     "docs_dedup_incremental": QuerySpec(docs_dedup_incremental, INC_DEDUP_SQL),
     "docs_snapshot_diff": QuerySpec(docs_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "docs_simhash_neardup": QuerySpec(docs_simhash_neardup, SIMHASH_NEARDUP_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
