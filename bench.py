@@ -234,6 +234,8 @@ HEADLINE = [
     "docs_dedup_incremental",
     "docs_snapshot_diff",
     "docs_simhash_neardup",
+    "events_funnel",
+    "events_retention",
 ]
 
 

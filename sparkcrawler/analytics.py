@@ -3800,6 +3800,155 @@ ORDER BY id_a, id_b
 SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel with per-stage time windows
+    (signup → view within 4h → purchase within 4h of the view) — the
+    sequence-analytics query every event pipeline runs. Each stage is
+    one groupBy producing a per-user earliest qualifying timestamp,
+    joined forward — stage N's table shrinks monotonically so the
+    joins get cheaper down the funnel, and nothing is windowed over
+    the raw event stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    )
+    four_h = F.expr("INTERVAL 4 HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(s.where(F.col("t_signup").isNotNull()), "user_id")
+        .where(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + four_h)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + four_h)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name, idx, col):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(col).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(s, "signup", 1, "t_signup")
+        .unionAll(stage(v, "view", 2, "t_view"))
+        .unionAll(stage(p, "purchase", 3, "t_purchase"))
+        .orderBy("stage_idx")
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t_view
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND s.t_signup IS NOT NULL
+        AND e.ts > s.t_signup
+        AND e.ts <= s.t_signup + INTERVAL 4 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 4 HOUR
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, 1 AS stage_idx,
+       CAST(count(t_signup) AS BIGINT) AS n_users FROM s
+UNION ALL SELECT 'view', 2, CAST(count(*) AS BIGINT) FROM v
+UNION ALL SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage_idx
+"""
+
+
+def events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, share
+    still active 1/7/14 days later — the other canonical event-stream
+    analytic. Two groupBys (first-activity, per-cohort size) and one
+    distinct over (user, day offset); cohort arithmetic happens on the
+    bounded cohort×offset grid, not the event stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    cohorts = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    return (
+        activity.where(F.col("day_n").isin(1, 7, 14))
+        .join(cohorts, "cohort_day")
+        .groupBy("cohort_day", "day_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.max("n0").alias("cohort_size"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n0"), 4
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_n").cast("long").alias("day_n"),
+            "n_active",
+            "cohort_size",
+            "retention",
+        )
+        .orderBy("cohort_day", "day_n")
+    )
+
+
+RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_n
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+cohorts AS (SELECT cohort_day, count(*) AS n0 FROM firsts GROUP BY cohort_day)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day_n AS BIGINT) AS day_n,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(max(c.n0) AS BIGINT) AS cohort_size,
+       round(CAST(count(*) AS DOUBLE) / max(c.n0), 4) AS retention
+FROM activity a JOIN cohorts c ON a.cohort_day = c.cohort_day
+WHERE a.day_n IN (1, 7, 14)
+GROUP BY c.cohort_day, a.day_n
+ORDER BY cohort_day, day_n
+"""
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -3852,6 +4001,8 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_dedup_incremental": QuerySpec(docs_dedup_incremental, INC_DEDUP_SQL),
     "docs_snapshot_diff": QuerySpec(docs_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "docs_simhash_neardup": QuerySpec(docs_simhash_neardup, SIMHASH_NEARDUP_SQL),
+    "events_funnel": QuerySpec(events_funnel, FUNNEL_SQL),
+    "events_retention": QuerySpec(events_retention, RETENTION_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
