@@ -1802,10 +1802,18 @@ def docs_simhash_arrow(spark, sf_dir):
     word's ±1 bit vector is derived once from its md5 nibbles (memoized)
     and scaled by its occurrence count — one vectorized accumulation per
     document, no explode and no 64-aggregate shuffle."""
+    return _simhash_arrow_of(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def _simhash_arrow_of(docs: DataFrame) -> DataFrame:
+    """Unordered (doc_id, simhash_lo, simhash_hi) via the zero-shuffle
+    mapInPandas pass — composable form (no output sort)."""
     import hashlib
     from collections import Counter
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
     bit_pos = np.arange(4, dtype=np.int64)
 
     def compute(batches):
@@ -1846,7 +1854,7 @@ def docs_simhash_arrow(spark, sf_dir):
 
     return docs.mapInPandas(
         compute, schema="doc_id long, simhash_lo long, simhash_hi long"
-    ).orderBy("doc_id")
+    )
 
 
 _STOPWORDS = ["the", "a", "join", "group", "order"]
@@ -3720,7 +3728,11 @@ def docs_simhash_neardup(spark, sf_dir):
     never on the corpus. Threshold 5 keeps recall past the pigeonhole
     guarantee; at 100 TB you re-probe with rotated band splits instead
     of raising the threshold."""
-    sh = docs_simhash_arrow(spark, sf_dir)  # (doc_id, lo, hi) — unordered use
+    # unordered signature pass (no orderBy: the catalog form's output
+    # sort would force a global range-exchange under every join side);
+    # at 100 TB you materialize this once — here Spark recomputes the
+    # zero-shuffle scan per side, which is cheap and parallel
+    sh = _simhash_arrow_of(_t(spark, sf_dir, "documents"))
     bands = sh.selectExpr(
         "doc_id", "simhash_lo", "simhash_hi",
         "explode(array("
