@@ -3308,6 +3308,7 @@ WITH aug AS (
          text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber no'
               || chr(771) AS raw
   FROM documents
+  WHERE text IS NOT NULL  -- the Arrow pass emits no row for NULL text
 )
 SELECT doc_id,
        length(raw) AS len_raw,
