@@ -238,6 +238,7 @@ HEADLINE = [
     "docs_simhash_neardup",
     "events_funnel",
     "events_retention",
+    "docs_length_quantiles",
 ]
 
 

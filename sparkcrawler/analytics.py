@@ -3962,6 +3962,42 @@ ORDER BY cohort_day, day_n
 """
 
 
+def docs_length_quantiles(spark, sf_dir):
+    """Ordered statistics: exact per-language document-length quartiles
+    + p95 (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+    interpolation on sorted values) — the length-distribution profile a
+    corpus report leads with. Exact percentile is a per-group sort; at
+    100 TB swap in ``percentile_approx`` (t-digest, mergeable, one
+    pass) — the query shape is unchanged, which is why the exact form
+    is the oracle contract here."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    pc = lambda p: F.round(
+        F.expr(f"percentile(CAST(n_chars AS DOUBLE), {p})"), 4
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pc(0.25).alias("p25"),
+            pc(0.5).alias("p50"),
+            pc(0.75).alias("p75"),
+            pc(0.95).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUANTILES_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -4016,6 +4052,7 @@ CATALOG: dict[str, QuerySpec] = {
     "docs_simhash_neardup": QuerySpec(docs_simhash_neardup, SIMHASH_NEARDUP_SQL),
     "events_funnel": QuerySpec(events_funnel, FUNNEL_SQL),
     "events_retention": QuerySpec(events_retention, RETENTION_SQL),
+    "docs_length_quantiles": QuerySpec(docs_length_quantiles, QUANTILES_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
