@@ -133,3 +133,87 @@ def test_cuckoo_state_roundtrip_preserves_membership(hs):
     cf = CuckooFilter.from_hashes(arr)
     cf2 = CuckooFilter.from_state(*cf.to_state())
     assert bool(cf2.contains_many(arr).all())
+
+
+# --- Extractor: one-pass parser ≡ dedicated parsers, never raises ------
+
+from sparkcrawler.functions.extract import (  # noqa: E402
+    extract_links_py,
+    extract_page_py,
+    extract_text_py,
+)
+
+_html_soup = st.text(
+    alphabet="<>/ab c\"'=&;#!-\n\tz0髦é𝄞",
+    min_size=0, max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_html_soup)
+def test_extract_one_pass_equals_dedicated_parsers_on_fuzz(soup):
+    url = "http://fuzz.example/p"
+    links, text = extract_page_py(url, soup)
+    assert links == extract_links_py(url, soup)
+    assert text == extract_text_py(soup)
+    # first-occurrence dedup invariant
+    assert len(links) == len(set(links))
+
+
+_paths = st.lists(
+    st.text("abcdefghij0123456789", min_size=1, max_size=6),
+    min_size=0, max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_paths, _html_soup)
+def test_extract_wellformed_anchors_in_order(paths, noise):
+    from sparkcrawler.functions.urlnorm import canonicalize
+
+    url = "http://site.example/base"
+    body = "".join(
+        f'<p>{i}</p><a href="/{p}">x</a>' for i, p in enumerate(paths)
+    )
+    # noise OUTSIDE tags must not disturb anchor extraction; escape
+    # tag-significant chars so it stays character data
+    safe_noise = (
+        noise.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    html = f"<html><body>{safe_noise}{body}</body></html>"
+    got = extract_page_py(url, html)[0]
+    want = []
+    seen = set()
+    for p in paths:
+        c = canonicalize(url, "/" + p)
+        if c and c not in seen:
+            seen.add(c)
+            want.append(c)
+    assert got == want
+
+
+# --- robots.txt: engine evaluator ≡ independent longest-match oracle ---
+
+from sparkcrawler.operators.robots import can_fetch_py, parse_robots_py  # noqa: E402
+
+_rule = st.tuples(
+    st.text("abcdefg/", min_size=1, max_size=8).map(lambda s: "/" + s),
+    st.booleans(),  # allow?
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_rule, min_size=0, max_size=8),
+       st.text("abcdefg/", min_size=0, max_size=10).map(lambda s: "/" + s))
+def test_robots_matches_longest_match_oracle(rules, path):
+    body = "User-agent: *\n" + "\n".join(
+        f"{'Allow' if allow else 'Disallow'}: {pat}" for pat, allow in rules
+    )
+    parsed = parse_robots_py(body)
+    got = can_fetch_py(parsed, path)
+    # independent oracle: Google/Protego precedence — longest matching
+    # pattern wins; on equal length Allow beats Disallow; no match →
+    # allowed (simple prefixes only: no * or $ generated)
+    matches = [(pat, allow) for pat, allow in rules if path.startswith(pat)]
+    want = max(matches, key=lambda r: (len(r[0]), r[1]))[1] if matches else True
+    assert got == want
