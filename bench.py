@@ -239,6 +239,8 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "docs_length_quantiles",
+    "corpus_bigram_lm",
+    "corpus_bpe_merges",
 ]
 
 

@@ -3998,6 +3998,114 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def corpus_bigram_lm(spark, sf_dir):
+    """Bigram language-model statistics: top-50 adjacent word pairs
+    with conditional probability P(w2|w1) — the trainable artifact of
+    a count-based LM and the context table a next-word quality signal
+    reads. Pair construction is a HOF transform over each doc's token
+    array (no self-join on position), counts are one map-side-partial
+    groupBy, and the w1 marginal reuses the already-aggregated pair
+    table. Guarded on size≥2 because ``sequence(1, 0)`` DESCENDS in
+    Spark rather than producing an empty array."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pairs = (
+        docs.selectExpr(
+            "filter(split(text, ' '), w -> w != '') AS ws"
+        )
+        .where("size(ws) >= 2")
+        .selectExpr(
+            "explode(transform(sequence(1, size(ws) - 1),"
+            " i -> struct(ws[i-1] AS w1, ws[i] AS w2))) AS pr"
+        )
+        .select("pr.w1", "pr.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    uni = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        counts.join(uni, "w1")
+        .select(
+            "w1", "w2", "n",
+            F.round(F.col("n").cast("double") / F.col("n1"), 6).alias(
+                "p_cond"
+            ),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(50)
+    )
+
+
+BIGRAM_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text,' '), w -> w <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr FROM toks
+  WHERE len(ws) >= 2
+),
+counts AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (SELECT w1, sum(n) AS n1 FROM counts GROUP BY w1)
+SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / u.n1, 6) AS p_cond
+FROM counts c JOIN uni u USING (w1)
+ORDER BY n DESC, w1, w2 LIMIT 50
+"""
+
+
+def corpus_bpe_merges(spark, sf_dir):
+    """The core BPE tokenizer-induction step: rank adjacent symbol
+    pairs inside words by corpus frequency — rank 1 is the first merge
+    a BPE trainer would perform; the top-20 table is the merge
+    frontier. Character pairs come from the same HOF-transform shape
+    as the bigram op (chars of each ≥2-char word), one shuffle for the
+    pair counts, ranking on the bounded pair dim."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pairs = (
+        docs.selectExpr("explode(filter(split(text, ' '), w -> w != '')) AS w")
+        .where(F.length("w") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, length(w) - 1),"
+            " i -> concat(substring(w, i, 1), substring(w, i + 1, 1))))"
+            " AS pair"
+        )
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        counts.select(F.row_number().over(w).alias("rank"), "pair", "n")
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
+
+
+BPE_MERGES_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
+  FROM documents
+),
+chars AS (
+  SELECT string_split(w, '') AS cs FROM words WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS pr FROM chars
+),
+counts AS (
+  SELECT pr[1] || pr[2] AS pair, count(*) AS n
+  FROM pairs GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank,
+       pair, CAST(n AS BIGINT) AS n
+FROM counts ORDER BY rank LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 CATALOG: dict[str, QuerySpec] = {
@@ -4053,6 +4161,8 @@ CATALOG: dict[str, QuerySpec] = {
     "events_funnel": QuerySpec(events_funnel, FUNNEL_SQL),
     "events_retention": QuerySpec(events_retention, RETENTION_SQL),
     "docs_length_quantiles": QuerySpec(docs_length_quantiles, QUANTILES_SQL),
+    "corpus_bigram_lm": QuerySpec(corpus_bigram_lm, BIGRAM_SQL),
+    "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, BPE_MERGES_SQL),
     "docs_lang_quality": QuerySpec(docs_lang_quality, LANG_SQL),
     "docs_fingerprint": QuerySpec(docs_fingerprint, FP_SQL),
     "ann_cosine_topk": QuerySpec(ann_cosine_topk, ANN_SQL),
