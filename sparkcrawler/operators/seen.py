@@ -136,6 +136,13 @@ class PartitionedBloom:
             "_maybe", self.maybe_seen_udf(spark)(F.col("url_hash"))
         )
 
+    def release(self) -> None:
+        """Reclaim the last bitmap broadcast (call after the final
+        action that consults the filter)."""
+        if self._bc is not None:
+            self._bc.unpersist(blocking=False)
+            self._bc = None
+
 
 class DistributedBloom:
     """Bloom filter whose shard bitmaps NEVER leave the executors.
@@ -265,6 +272,14 @@ class DistributedBloom:
             .applyInPandas(check, schema=out_schema)
         )
         return tagged.select(*cols, "_maybe")
+
+    def release(self) -> None:
+        """Unpersist the executor-side shard bitmaps (call once the
+        crawl's final action has run — nothing stays pinned in
+        executor storage after the loop ends)."""
+        if self.bitmaps_df is not None:
+            self.bitmaps_df.unpersist()
+            self.bitmaps_df = None
 
 
 def dedup_against_seen(

@@ -942,6 +942,8 @@ def crawl(
         hot_bc_filter.release()
     if hot_dist is not None:
         hot_dist.release()
+    if bloom is not None:
+        bloom.release()
     _append_run_event(
         fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
         cfg.max_pages, "complete_run",

@@ -50,6 +50,20 @@ SQL_QUERIES = sorted(n for n, s in CATALOG.items() if s.sql is not None)
 ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.sql is None)
 
 
+@pytest.fixture(autouse=True)
+def no_persist_leak(request, spark):
+    """Every catalog query must leave executor storage empty: whatever a
+    query persists internally (pagerank's edge list, the crawl demo
+    build's round caches, Bloom shard bitmaps) must be unpersisted by
+    the time its action returns — a long-lived session running the
+    catalog repeatedly at scale must not accrete pinned blocks."""
+    yield
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leaked == 0, (
+        f"{request.node.name}: {leaked} RDD(s) still persisted after query"
+    )
+
+
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     spec = CATALOG[name]
