@@ -315,3 +315,171 @@ def dedup_against_seen(
         .join(seen.select("url_hash"), "url_hash", "left_anti")
     )
     return definite_new.unionByName(suspects)
+
+
+class ExactSeenShards:
+    """EXACT url-seen membership as executor-resident packed shards.
+
+    The 10^10-URL frontier design point (BASELINE north rule): the seen
+    set lives as a persisted ``(shard, n, hashes)`` DataFrame — one row
+    per ``pmod(url_hash, num_shards)`` shard holding that shard's seen
+    hashes as a sorted ``int64`` byte buffer (8 B/URL; 10^10 URLs = 80 GB
+    spread across the cluster, never on the driver, never broadcast).
+
+    :meth:`filter_new` replaces THREE per-round operators of the
+    join-based path with one co-partitioned pass:
+
+    - the within-round candidate dedup (``dropDuplicates(url_hash)`` —
+      previously its own Exchange + two SortAggregates),
+    - the Bloom ``_maybe`` tag (previously an Arrow pass over every
+      candidate + a driver-pickled bitmap broadcast per round),
+    - the exact anti-join against the full seen table (previously a
+      broadcast whose build side re-scanned every committed frontier
+      snapshot and grew with the crawl).
+
+    Candidates shuffle ONCE on the shard key (the same exchange the old
+    dropDuplicates already paid), then each task sees its shard's
+    candidates next to that shard's packed state and answers
+    membership exactly with one ``np.isin``. Per-round shuffle volume
+    is O(discovered links this round) — at 1000 executors nothing
+    scales with total-seen except the resident state itself, which is
+    exactly the sharded-membership structure the north rule names (the
+    Bloom/cuckoo regimes remain for broadcast-friendly deployments).
+
+    Recent deltas not yet folded into the packed state ride the SAME
+    cogroup as raw one-hash rows (``pack=false``), so batched updates
+    never re-admit a recently seen URL and no side anti-join exists.
+    Update/persist lifecycle mirrors :class:`DistributedBloom`
+    (materialize-then-swap, ``release()`` after the final action).
+    """
+
+    _STATE_SCHEMA = "shard int, n long, hashes binary"
+
+    def __init__(self, spark: SparkSession, num_shards: int = 64):
+        self.spark = spark
+        self.num_shards = num_shards
+        self.shards_df: DataFrame | None = None
+        self.n_added = 0
+
+    # ------------------------------------------------------------- build --
+
+    def _packed_delta(self, df: DataFrame) -> DataFrame:
+        P = self.num_shards
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            hs = np.unique(pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["_shard"].iloc[0])],
+                    "n": [len(hs)],
+                    "hashes": [hs.tobytes()],
+                }
+            )
+
+        return (
+            df.select("url_hash")
+            .selectExpr(
+                "url_hash",
+                f"CAST(pmod(url_hash, {P}) AS INT) AS _shard",
+            )
+            .groupBy("_shard")
+            .applyInPandas(pack, schema=self._STATE_SCHEMA)
+        )
+
+    def update_from_df(self, df: DataFrame, n_rows: int | None = None) -> None:
+        """Fold a delta of ``url_hash`` rows into the packed state.
+        Only packed shard rows shuffle; the swap materializes the new
+        state before dropping the old (same discipline as
+        :meth:`DistributedBloom.update_from_df`)."""
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            bufs = [np.frombuffer(b, dtype=np.int64) for b in pdf["hashes"]]
+            hs = np.unique(np.concatenate(bufs)) if bufs else np.empty(0, np.int64)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "n": [len(hs)],
+                    "hashes": [hs.tobytes()],
+                }
+            )
+
+        delta = self._packed_delta(df)
+        new = (
+            delta
+            if self.shards_df is None
+            else self.shards_df.unionByName(delta)
+            .groupBy("shard")
+            .applyInPandas(merge, schema=self._STATE_SCHEMA)
+        )
+        new = new.persist()
+        new.count()  # materialize before dropping the previous state
+        if self.shards_df is not None:
+            self.shards_df.unpersist()
+        self.shards_df = new
+        self.n_added += int(n_rows) if n_rows is not None else df.count()
+
+    # ------------------------------------------------------------- query --
+
+    def filter_new(
+        self,
+        candidates: DataFrame,
+        uncovered: DataFrame | None = None,
+    ) -> DataFrame:
+        """Within-round dedup + exact seen-filter in ONE cogroup.
+
+        ``candidates`` must carry ``url_hash``; rows sharing a hash
+        within the round are identical up to that hash (same url →
+        same derived cols), so keeping the first after a stable sort
+        is exact. ``uncovered`` = seen rows written after the last
+        :meth:`update_from_df` (batched-update window); their hashes
+        join the state side as raw 8-byte rows — no extra join.
+        """
+        P = self.num_shards
+        cols = candidates.columns
+        out_schema = candidates.schema
+
+        state = self.shards_df
+        if uncovered is not None:
+            # raw delta rows: the hash rides in `n`, NULL `hashes` is the
+            # marker (avoids an int64→binary endianness conversion in SQL)
+            raw = uncovered.selectExpr(
+                f"CAST(pmod(url_hash, {P}) AS INT) AS shard",
+                "url_hash AS n",
+                "CAST(NULL AS BINARY) AS hashes",
+            )
+            state = raw if state is None else state.unionByName(raw)
+        if state is None:
+            state = self.spark.createDataFrame([], self._STATE_SCHEMA)
+
+        def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left.drop(columns=["_shard"])
+            if left.empty:
+                return left
+            # within-round dedup: rows with equal url_hash are identical
+            left = left.sort_values("url_hash", kind="mergesort")
+            left = left[~left["url_hash"].duplicated()]
+            if right.empty:
+                return left
+            packed = right["hashes"].notna()
+            bufs = [b"".join(right.loc[packed, "hashes"].tolist())]
+            raw_hs = right.loc[~packed, "n"].to_numpy(dtype=np.int64)
+            seen = np.concatenate(
+                [np.frombuffer(bufs[0], dtype=np.int64), raw_hs]
+            )
+            hs = left["url_hash"].to_numpy(dtype=np.int64)
+            return left[~np.isin(hs, seen)]
+
+        return (
+            candidates.selectExpr(
+                "*", f"CAST(pmod(url_hash, {P}) AS INT) AS _shard"
+            )
+            .groupBy("_shard")
+            .cogroup(state.groupBy("shard"))
+            .applyInPandas(check, schema=out_schema)
+            .select(*cols)
+        )
+
+    def release(self) -> None:
+        if self.shards_df is not None:
+            self.shards_df.unpersist()
+            self.shards_df = None

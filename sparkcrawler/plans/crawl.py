@@ -56,6 +56,7 @@ from sparkcrawler.fs import DEFAULT_FS, LocalFS
 from sparkcrawler.functions.urlnorm import canonicalize, host_of
 from sparkcrawler.operators.seen import (
     DistributedBloom,
+    ExactSeenShards,
     PartitionedBloom,
     dedup_against_seen,
 )
@@ -100,6 +101,20 @@ class CrawlConfig:
     # DataFrame consulted shard-locally via cogroup — the 10^10-URL
     # path where the filter is too big for a driver or broadcast.
     bloom_mode: str = "broadcast"
+    # "cogroup" (default): the seen set is an EXACT executor-resident
+    # sharded structure (operators/seen.py ExactSeenShards); candidate
+    # dedup + seen-membership run in ONE hash-partitioned cogroup per
+    # round — no growing broadcast, no per-round rescan of the seen
+    # table, no separate dropDuplicates exchange. "join": the
+    # Bloom-prefiltered anti-join path. Explicitly configuring the
+    # join-path features below (use_bloom=False, bloom_mode=
+    # "distributed", hot_hosts>0) selects "join" automatically so those
+    # regimes stay reachable exactly as configured.
+    seen_backend: str = "cogroup"
+    # shard count for the exact seen state (partition key of the seen
+    # structure at cluster scale; 10^10 URLs / 4096 shards ≈ 20 MB of
+    # packed hashes per shard)
+    seen_shards: int = 64
     # >0: the top-K hosts by cumulative new-URL volume get per-host
     # cuckoo filters (operators/cuckoo.py) consulted INSTEAD of the
     # shared Bloom — near-exact membership for exactly the hosts that
@@ -528,12 +543,30 @@ def crawl(
             cfg.max_pages, "resume_run",
         )
 
+    # Seen-set backend. "cogroup" = exact executor-resident shards; any
+    # explicit join-path feature flag selects the anti-join backend so
+    # its regimes (plain anti-join, distributed bloom, hot-host cuckoo)
+    # run exactly as configured.
+    backend = cfg.seen_backend
+    if not cfg.use_bloom or cfg.bloom_mode == "distributed" or cfg.hot_hosts > 0:
+        backend = "join"
+    exact = None
+    exact_covered = next_round  # exact state holds rows with round <= this
+    if backend == "cogroup":
+        exact = ExactSeenShards(spark, cfg.seen_shards)
+        dirs = _committed_dirs(fs, out_dir, "frontier", next_round)
+        if dirs:
+            exact.update_from_df(
+                _read_frontier(spark, *dirs).where(F.col("is_new"))
+            )
+
     # Bloom filter over everything ever seen. The seen set is a view
     # over the committed frontier snapshots (is_new rows), so the
     # rebuild scans those. Filters only skip definite-misses.
     bloom = None
     bloom_covered = next_round  # bloom holds seen rows with round_added <= this
-    if cfg.use_bloom and cfg.bloom_mode == "distributed":
+    use_join_bloom = backend == "join" and cfg.use_bloom
+    if use_join_bloom and cfg.bloom_mode == "distributed":
         bloom = DistributedBloom(
             spark, cfg.bloom_shards, cfg.bloom_bits_per_shard
         )
@@ -542,7 +575,7 @@ def crawl(
             bloom.update_from_df(
                 _read_frontier(spark, *dirs).where(F.col("is_new"))
             )
-    elif cfg.use_bloom:
+    elif use_join_bloom:
         bloom = PartitionedBloom(cfg.bloom_shards, cfg.bloom_bits_per_shard)
         files = [
             f
@@ -571,7 +604,7 @@ def crawl(
     # never read the hash column driver-side
     hash_limit = (
         cfg.bloom_driver_update_limit
-        if (cfg.use_bloom and cfg.bloom_mode != "distributed")
+        if (use_join_bloom and cfg.bloom_mode != "distributed")
         else -1
     )
 
@@ -741,31 +774,48 @@ def crawl(
         # re-runs; the `is_new` tag makes the written frontier double as
         # the seen-set delta (no separate seen write — the seen table IS
         # the union of is_new rows across committed frontier snapshots).
-        seen_all = _read_frontier(
-            spark, *_committed_dirs(fs, out_dir, "frontier", r)
-        ).where(F.col("is_new"))
-        discovered = discovered_links(plan.extracted)
-        seen_uncovered = (
-            seen_all.where(F.col("round") > F.lit(bloom_covered))
-            if bloom is not None and bloom_covered < r
-            else None
-        )
-        if hot_dist is not None and hot_dist.hosts:
-            seen_filter = hot_dist
-        elif hot_enabled and hot_filters:
-            from sparkcrawler.operators.cuckoo import HotHostSeenFilter
-
-            if hot_bc_filter is None:
-                # ONE wrapper for the whole crawl: it reclaims the
-                # previous round's broadcast before shipping the next
-                # (hot_filters is mutated in place, never rebound)
-                hot_bc_filter = HotHostSeenFilter(bloom, hot_filters)
-            seen_filter = hot_bc_filter
+        if exact is not None:
+            # exact-cogroup backend: within-round dedup + seen filter in
+            # ONE co-partitioned pass; snapshots written after the last
+            # state fold ride the same cogroup as raw delta rows
+            discovered = discovered_links(plan.extracted, dedup=False)
+            unc_dirs = [
+                fs.join(out_dir, "frontier", f"r{i}")
+                for i in range(exact_covered + 1, r + 1)
+                if fs.exists(fs.join(out_dir, "frontier", f"r{i}"))
+            ]
+            uncovered = (
+                _read_frontier(spark, *unc_dirs).where(F.col("is_new"))
+                if unc_dirs
+                else None
+            )
+            new_links = exact.filter_new(discovered, uncovered)
         else:
-            seen_filter = bloom
-        new_links = dedup_against_seen(
-            discovered, seen_all, seen_filter, spark, seen_uncovered
-        )
+            seen_all = _read_frontier(
+                spark, *_committed_dirs(fs, out_dir, "frontier", r)
+            ).where(F.col("is_new"))
+            discovered = discovered_links(plan.extracted)
+            seen_uncovered = (
+                seen_all.where(F.col("round") > F.lit(bloom_covered))
+                if bloom is not None and bloom_covered < r
+                else None
+            )
+            if hot_dist is not None and hot_dist.hosts:
+                seen_filter = hot_dist
+            elif hot_enabled and hot_filters:
+                from sparkcrawler.operators.cuckoo import HotHostSeenFilter
+
+                if hot_bc_filter is None:
+                    # ONE wrapper for the whole crawl: it reclaims the
+                    # previous round's broadcast before shipping the next
+                    # (hot_filters is mutated in place, never rebound)
+                    hot_bc_filter = HotHostSeenFilter(bloom, hot_filters)
+                seen_filter = hot_bc_filter
+            else:
+                seen_filter = bloom
+            new_links = dedup_against_seen(
+                discovered, seen_all, seen_filter, spark, seen_uncovered
+            )
         next_frontier = plan.deferred.withColumn(
             "is_new", F.lit(False)
         ).unionByName(
@@ -791,6 +841,21 @@ def crawl(
         if cfg.lineage:
             _write_lineage_rows(fs, out_dir, run_id, r, m)
 
+        if exact is not None and n_new >= cfg.bloom_update_min_batch:
+            # fold every not-yet-covered snapshot into the exact shards
+            # (same batching discipline as the bloom below; until the
+            # fold, those rounds ride filter_new's uncovered side)
+            fold_dirs = [
+                fs.join(out_dir, "frontier", f"r{i}")
+                for i in range(exact_covered + 1, r + 2)
+                if fs.exists(fs.join(out_dir, "frontier", f"r{i}"))
+            ]
+            if fold_dirs:
+                exact.update_from_df(
+                    _read_frontier(spark, *fold_dirs).where(F.col("is_new")),
+                    n_rows=n_new if exact_covered == r else None,
+                )
+                exact_covered = r + 1
         if bloom is not None and n_new >= cfg.bloom_update_min_batch:
             # fold in EVERY round not yet covered — this round's delta
             # plus any round previously skipped by the batching
@@ -944,6 +1009,8 @@ def crawl(
         hot_dist.release()
     if bloom is not None:
         bloom.release()
+    if exact is not None:
+        exact.release()
     _append_run_event(
         fs, out_dir, run_id, seed_urls[0] if seed_urls else None,
         cfg.max_pages, "complete_run",

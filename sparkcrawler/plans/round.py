@@ -325,7 +325,7 @@ def build_round(
     )
 
 
-def discovered_links(parsed: DataFrame) -> DataFrame:
+def discovered_links(parsed: DataFrame, dedup: bool = True) -> DataFrame:
     """Explode parsed pages' same-host links into frontier candidates.
 
     ``parsed`` needs (links, depth, round) — either the persisted
@@ -333,6 +333,9 @@ def discovered_links(parsed: DataFrame) -> DataFrame:
     filtered to PARSED rows. Candidate identity (url_hash, host) is
     computed JVM-side (xxhash64 + parse_url); within-round dedup keeps
     one row per url_hash (depth is constant within a round).
+    ``dedup=False`` skips the dropDuplicates exchange for callers that
+    dedup downstream inside an exchange they already pay for (the
+    exact-cogroup seen backend).
     """
     if "crawl_status" in parsed.columns:
         parsed = parsed.where(F.col("crawl_status") == schemas.PARSED)
@@ -356,4 +359,6 @@ def discovered_links(parsed: DataFrame) -> DataFrame:
     )
     # first-writer-wins across pages in the same round: keep one row per
     # url_hash (depth is constant within a round, so any row is the min).
+    if not dedup:
+        return exploded.select(*FRONTIER_COLS)
     return exploded.dropDuplicates(["url_hash"]).select(*FRONTIER_COLS)

@@ -133,3 +133,87 @@ def test_distributed_bloom_no_false_negatives_many_shards(spark):
     assert len(tagged) == 500
     misses = [r["url"] for r in tagged if not r["_maybe"]]
     assert misses == []  # every seen URL must be maybe-seen
+
+
+# ------------------------------------------------- exact-cogroup backend --
+
+
+def _cand_df(spark, urls):
+    """Frontier-candidate-shaped rows (the crawl's FRONTIER_COLS)."""
+    return _df(spark, urls).selectExpr(
+        "url", "url_hash",
+        "coalesce(parse_url(url, 'AUTHORITY'), '') AS host",
+        "CAST(1 AS INT) AS depth", "CAST(1.0 AS DOUBLE) AS priority",
+        "CAST(1 AS INT) AS round", "CAST(0 AS INT) AS attempt",
+    )
+
+
+def test_exact_shards_equals_plain_antijoin_plus_dedup(spark):
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    seen_urls = [f"https://h.example/p/{i}" for i in range(0, 300, 2)]
+    cand_urls = [f"https://h.example/p/{i}" for i in range(100, 400)]
+    cand_urls += cand_urls[:50]  # within-round duplicates
+    seen = _df(spark, seen_urls)
+    cands = _cand_df(spark, cand_urls)
+
+    ex = ExactSeenShards(spark, num_shards=7)
+    ex.update_from_df(seen)
+    got = sorted(r["url"] for r in ex.filter_new(cands).collect())
+
+    want = sorted(
+        r["url"]
+        for r in cands.dropDuplicates(["url_hash"])
+        .join(seen.select("url_hash"), "url_hash", "left_anti")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    ex.release()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_exact_shards_uncovered_delta_rides_cogroup(spark):
+    """URLs written after the last state fold must still be filtered
+    (the batched-update window) — they join the cogroup as raw rows."""
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    packed = [f"https://h.example/a/{i}" for i in range(50)]
+    recent = [f"https://h.example/b/{i}" for i in range(50)]
+    fresh = [f"https://h.example/c/{i}" for i in range(50)]
+
+    ex = ExactSeenShards(spark, num_shards=5)
+    ex.update_from_df(_df(spark, packed))
+    cands = _cand_df(spark, packed + recent + fresh)
+    got = sorted(
+        r["url"]
+        for r in ex.filter_new(cands, uncovered=_df(spark, recent)).collect()
+    )
+    assert got == sorted(fresh)
+    ex.release()
+
+
+def test_exact_shards_empty_state_dedups_only(spark):
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    urls = [f"https://h.example/p/{i}" for i in range(40)] * 3
+    ex = ExactSeenShards(spark, num_shards=4)
+    got = sorted(r["url"] for r in ex.filter_new(_cand_df(spark, urls)).collect())
+    assert got == sorted(set(urls))
+
+
+def test_exact_shards_incremental_update_merges(spark):
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    ex = ExactSeenShards(spark, num_shards=3)
+    ex.update_from_df(_df(spark, [f"https://h.example/x/{i}" for i in range(30)]))
+    ex.update_from_df(_df(spark, [f"https://h.example/y/{i}" for i in range(30)]))
+    assert ex.n_added == 60
+    cands = _cand_df(
+        spark,
+        [f"https://h.example/x/{i}" for i in range(30)]
+        + [f"https://h.example/y/{i}" for i in range(30)]
+        + [f"https://h.example/z/{i}" for i in range(10)],
+    )
+    got = sorted(r["url"] for r in ex.filter_new(cands).collect())
+    assert got == sorted(f"https://h.example/z/{i}" for i in range(10))
+    ex.release()
