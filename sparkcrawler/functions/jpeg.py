@@ -1,25 +1,35 @@
-"""Pure-numpy baseline JPEG (JFIF) codec — no external image libraries.
+"""Pure-numpy JPEG (JFIF) codec — no external image libraries.
 
 The decode side (:func:`decode_jpeg_py`) is the REAL thing for the
-envelope it claims: baseline sequential DCT (SOF0), 8-bit samples,
-1-component grayscale or 3-component YCbCr with sampling factors 1..2
-per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0 — MCU-interleaved per T.81
-A.2.3; subsampled chroma upsamples by sample replication), single
-interleaved scan, no restart intervals. Everything outside that
-envelope — progressive (SOF2), arithmetic coding, sampling factors
-above 2, restart markers, 12-bit — raises ``NotImplementedError``
-loudly: the decode is real or refused, never approximated (same
-discipline as the PNG path in :mod:`sparkcrawler.functions.media`).
+envelope it claims: baseline sequential DCT (SOF0, single interleaved
+scan) AND progressive DCT (SOF2, Huffman — spectral selection and
+successive approximation, DC and AC first + refinement scans, EOB
+runs, per T.81 G.1.2 with the same control flow libjpeg's phuff
+decoder pins), 8-bit samples, 1-component grayscale or 3-component
+YCbCr with sampling factors 1..2 per axis (4:4:4, 4:2:2, 4:4:0,
+4:2:0 — MCU-interleaved per T.81 A.2.3, non-interleaved progressive
+AC scans over each component's own ceil-block grid per A.2.2;
+subsampled chroma upsamples by sample replication). Everything
+outside that envelope — arithmetic coding, sampling factors above 2,
+restart markers, 12-bit, multi-scan SEQUENTIAL streams — raises
+``NotImplementedError`` loudly: the decode is real or refused, never
+approximated (same discipline as the PNG path in
+:mod:`sparkcrawler.functions.media`).
 
 The encode side (:func:`encode_jpeg_py`) exists as the test oracle: it
-emits a complete valid baseline JFIF stream (DQT + SOF0 + DHT + SOS +
-entropy data with byte stuffing + EOI) for the same envelope, and
-:func:`encode_jpeg_with_expected` additionally returns the
-mathematically expected reconstruction (dequantize + IDCT + level shift
-+ color transform of the exact coefficients it quantized), so tests pin
-the decoder's output EXACT-PIXEL against an independent computation of
-what those bytes mean — JPEG is lossy, but decode(encode(x)) is
-deterministic.
+emits a complete valid JFIF stream (DQT + SOF + DHT + SOS + entropy
+data with byte stuffing + EOI) for the same envelope — baseline, or
+with ``progressive=True`` a SOF2 stream whose scan script exercises
+both progressive mechanisms (DC Al=1 first scan → DC refinement →
+per-component AC 1..63 at Al=1 → AC refinement with buffered
+correction bits and EOB runs, mirroring libjpeg's encode_mcu_AC_*
+emission order) — and :func:`encode_jpeg_with_expected` additionally
+returns the mathematically expected reconstruction (dequantize + IDCT
++ level shift + color transform of the exact coefficients it
+quantized), so tests pin the decoder's output EXACT-PIXEL against an
+independent computation of what those bytes mean — JPEG is lossy, but
+decode(encode(x)) is deterministic, and progressive/baseline encodings
+of the same image share one expected reconstruction.
 
 Reference behavior anchor: the reference crawler stores media blobs as
 opaque bytes and never decodes them (simple_crawler has no image code
@@ -174,6 +184,62 @@ def _extend(v: int, size: int) -> int:
 # --------------------------------------------------------------- decoder --
 
 
+def _ac_refine_block(
+    reader: "_BitReader",
+    ac_table: "_CanonicalHuffman",
+    zz: np.ndarray,
+    lo: int,
+    hi: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC successive-approximation refinement for one block
+    (T.81 G.1.2.3; control flow mirrors libjpeg's decode_mcu_AC_refine).
+    ``zz`` holds the block's zigzag-order coefficients and is refined in
+    place; returns the updated EOB run count. Within an EOB run,
+    already-nonzero coefficients still consume one correction bit each."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = lo
+    if eobrun == 0:
+        while k <= hi:
+            rs = reader.decode_symbol(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            v = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude must be 1")
+                v = p1 if reader.read_bit() else m1
+            # advance over already-nonzero coefficients, appending their
+            # correction bits; count down r zero-history positions
+            while k <= hi:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if v and k <= hi:
+                zz[k] = v
+            k += 1
+    if eobrun > 0:
+        # remainder of the band inside an EOB run: correction bits only
+        while k <= hi:
+            if zz[k] != 0 and reader.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_py(blob: bytes) -> np.ndarray:
     """Decode a baseline JFIF blob to an (h, w) uint8 array (grayscale)
     or (h, w, 3) uint8 RGB array. See the module docstring for the
@@ -186,9 +252,8 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _CanonicalHuffman] = {}
     ac_tables: dict[int, _CanonicalHuffman] = {}
-    frame = None        # (height, width, [(cid, qid)])
-    scan = None         # [(cid, dc_id, ac_id)]
-    entropy = None
+    frame = None        # (height, width, comps, progressive)
+    scans: list = []    # (scan_comps, Ss, Se, Ah, Al, entropy) per SOS
 
     i = 2
     while i + 1 < len(b):
@@ -226,7 +291,7 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
                 table = _CanonicalHuffman(bits, huffval)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG samples")
@@ -248,12 +313,13 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
                         "(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0) are implemented"
                     )
                 comps.append((cid, qid, hs, vs))
-            frame = (height, width, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (height, width, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}: progressive/"
-                "extended/arithmetic) — only SOF0 baseline is implemented"
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}: extended/"
+                "lossless/arithmetic) — only SOF0 baseline and SOF2 "
+                "progressive (Huffman) are implemented"
             )
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack(">H", seg[:2])
@@ -266,6 +332,8 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
                 cid = seg[1 + 2 * c]
                 dc_id, ac_id = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
                 scan.append((cid, dc_id, ac_id))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             # entropy data runs to the next real marker (un-stuff FF00)
             p = i + seglen
             raw = bytearray()
@@ -280,14 +348,19 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
                     break
                 raw.append(b[p])
                 p += 1
-            entropy = bytes(raw)
+            scans.append((scan, ss, se, ah, al, bytes(raw)))
             i = p
             continue
         i += seglen
 
-    if frame is None or scan is None or entropy is None:
-        raise ValueError("JPEG missing SOF0/SOS/entropy data")
-    height, width, comps = frame
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS/entropy data")
+    height, width, comps, progressive = frame
+    if not progressive and len(scans) > 1:
+        raise NotImplementedError(
+            "multi-scan sequential JPEG — baseline decode expects one "
+            "interleaved scan (progressive SOF2 multi-scan is supported)"
+        )
     qid_of = {cid: qid for cid, qid, _, _ in comps}
     factors = {cid: (hs, vs) for cid, _, hs, vs in comps}
     ncomp = len(comps)
@@ -304,48 +377,109 @@ def decode_jpeg_py(blob: bytes) -> np.ndarray:
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
 
-    reader = _BitReader(entropy)
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+    # coefficient accumulation (zigzag order) per component over the
+    # MCU-padded block grid; progressive scans refine these in place,
+    # the single baseline scan fills them in one pass — one shared
+    # dequantize+IDCT tail either way
+    coeff = {
+        cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
         for cid, (hs, vs) in factors.items()
     }
-    pred = {cid: 0 for cid, _, _, _ in comps}
 
-    def decode_block(cid: int, dc_id: int, ac_id: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        t = reader.decode_symbol(dc_tables[dc_id])
-        diff = _extend(reader.read_bits(t), t)
-        pred[cid] += diff
-        zz[0] = pred[cid]
-        k = 1
-        while k < 64:
-            rs = reader.decode_symbol(ac_tables[ac_id])
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL: sixteen zeros
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = _extend(reader.read_bits(s), s)
-            k += 1
-        block = np.zeros(64, dtype=np.int64)
-        block[ZIGZAG] = zz
-        coeffs = block.reshape(8, 8) * qtables[qid_of[cid]]
-        return _idct_block(coeffs) + 128.0
+    def _blocks_of(scan_comps, interleaved):
+        """Block traversal order for one scan: MCU-interleaved (T.81
+        A.2.3) or single-component raster over its OWN ceil-block grid
+        (A.2.2 — non-interleaved dims are NOT MCU-padded)."""
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, dc_id, ac_id in scan_comps:
+                        hs, vs = factors[cid]
+                        for vy in range(vs):
+                            for vx in range(hs):
+                                yield cid, dc_id, ac_id, my * vs + vy, mx * hs + vx
+        else:
+            cid, dc_id, ac_id = scan_comps[0]
+            hs, vs = factors[cid]
+            ch = (height * vs + vmax - 1) // vmax
+            cw = (width * hs + hmax - 1) // hmax
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    yield cid, dc_id, ac_id, by, bx
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, dc_id, ac_id in scan:
-                hs, vs = factors[cid]
-                for vy in range(vs):
-                    for vx in range(hs):
-                        by, bx = my * vs + vy, mx * hs + vx
-                        planes[cid][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = decode_block(cid, dc_id, ac_id)
+    for scan_comps, ss, se, ah, al, entropy in scans:
+        if not progressive:
+            ss, se, ah, al = 0, 63, 0, 0
+        if ss > 0 and len(scan_comps) > 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError(f"bad spectral selection {ss}..{se}")
+        if progressive and ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        reader = _BitReader(entropy)
+        pred = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+        is_dc = ss == 0
+        interleaved = len(scan_comps) > 1 or (not progressive)
+        # sequential scans code DC+AC together; progressive DC scans
+        # stop at Se=0 and AC scans start at Ss>=1
+        for cid, dc_id, ac_id, by, bx in _blocks_of(scan_comps, interleaved):
+            zz = coeff[cid][by, bx]
+            if is_dc and ah == 0:
+                t = reader.decode_symbol(dc_tables[dc_id])
+                diff = _extend(reader.read_bits(t), t)
+                pred[cid] += diff
+                zz[0] = pred[cid] << al
+            elif is_dc:
+                # DC successive-approximation refinement: one bit/block
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+            if not progressive:
+                lo, hi = 1, 63
+            elif is_dc:
+                continue
+            else:
+                lo, hi = ss, se
+            if progressive and ah > 0:
+                eobrun = _ac_refine_block(
+                    reader, ac_tables[ac_id], zz, lo, hi, al, eobrun
+                )
+                continue
+            # first (or sequential full) AC pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = lo
+            while k <= hi:
+                rs = reader.decode_symbol(ac_tables[ac_id])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    if progressive:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                    break  # EOB
+                k += r
+                if k > hi:
+                    raise ValueError("AC run past band end")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+    planes = {}
+    for cid, (hs, vs) in factors.items():
+        plane = np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        q = qtables[qid_of[cid]]
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                block = np.zeros(64, dtype=np.int64)
+                block[ZIGZAG] = coeff[cid][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct_block(block.reshape(8, 8) * q) + 128.0
+                )
+        planes[cid] = plane
 
     # crop each component to its own resolution, then upsample by
     # sample replication (the encoder's expected-reconstruction uses
@@ -432,10 +566,12 @@ def _flat_tables():
     dc_vals = list(range(12))
     ac_syms = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [
+        r << 4 for r in range(1, 15)  # EOBn (progressive EOB runs of 2^r..)
     ]
     ac_syms = sorted(set(ac_syms))
     ac_bits = [0] * 16
-    ac_bits[8] = len(ac_syms)  # 162 nine-bit codes (<= 2^9 - 1)
+    ac_bits[8] = len(ac_syms)  # 176 nine-bit codes (<= 2^9 - 1)
     return (dc_bits, dc_vals), (ac_bits, ac_syms)
 
 
@@ -473,8 +609,105 @@ def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
     return padded.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
 
 
+def _emit_eobrun(writer: _BitWriter, ac_table: _CanonicalHuffman,
+                 state: dict) -> None:
+    """Flush a pending progressive EOB run (EOBn symbol + extension
+    bits) followed by the correction bits buffered during the run."""
+    run = state["eobrun"]
+    if run > 0:
+        r = run.bit_length() - 1
+        length, code = ac_table.encode[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(run - (1 << r), r)
+        state["eobrun"] = 0
+    for bit in state["pending"]:
+        writer.write(bit, 1)
+    state["pending"] = []
+
+
+def _encode_ac_first_scan(
+    writer: _BitWriter, ac_table: _CanonicalHuffman,
+    blocks: list, lo: int, hi: int, al: int, state: dict,
+) -> None:
+    """Progressive AC first scan for one component (T.81 G.1.2.2)."""
+    for zz in blocks:
+        r = 0
+        wrote = False
+        for k in range(lo, hi + 1):
+            v = int(zz[k])
+            a = abs(v) >> al
+            if a == 0:
+                r += 1
+                continue
+            if not wrote:
+                _emit_eobrun(writer, ac_table, state)
+                wrote = True
+            while r > 15:
+                length, code = ac_table.encode[0xF0]
+                writer.write(code, length)
+                r -= 16
+            s = a.bit_length()
+            length, code = ac_table.encode[(r << 4) | s]
+            writer.write(code, length)
+            sv = a if v > 0 else -a
+            writer.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r > 0 or not wrote:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(writer, ac_table, state)
+
+
+def _encode_ac_refine_scan(
+    writer: _BitWriter, ac_table: _CanonicalHuffman,
+    blocks: list, lo: int, hi: int, al: int, state: dict,
+) -> None:
+    """Progressive AC successive-approximation refinement scan (T.81
+    G.1.2.3; mirrors libjpeg's encode_mcu_AC_refine: newly-nonzero
+    coefficients code as (run,1)+sign, already-nonzero ones buffer one
+    correction bit that is emitted after the next code)."""
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(lo, hi + 1)]
+        eob = -1
+        for idx, a in enumerate(absv):
+            if a == 1:
+                eob = idx
+        r = 0
+        br: list[int] = []
+        for idx, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                _emit_eobrun(writer, ac_table, state)
+                length, code = ac_table.encode[0xF0]
+                writer.write(code, length)
+                r -= 16
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+            if a > 1:  # already nonzero at the previous precision
+                br.append(a & 1)
+                continue
+            _emit_eobrun(writer, ac_table, state)
+            length, code = ac_table.encode[(r << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if int(zz[lo + idx]) >= 0 else 0, 1)
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["pending"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                _emit_eobrun(writer, ac_table, state)
+
+
 def encode_jpeg_with_expected(
-    img: np.ndarray, quality: int = 75, subsampling: str = "444"
+    img: np.ndarray, quality: int = 75, subsampling: str = "444",
+    progressive: bool = False,
 ) -> tuple[bytes, np.ndarray]:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
     baseline JFIF and return ``(blob, expected)`` where ``expected``
@@ -525,8 +758,7 @@ def encode_jpeg_with_expected(
     dc_table = _CanonicalHuffman(dc_bits, dc_vals)
     ac_table = _CanonicalHuffman(ac_bits, ac_vals)
 
-    writer = _BitWriter()
-    pred = [0] * len(planes)
+    ncomp = len(planes)
     # MCU-interleaved block order (T.81 A.2.3): per MCU, each
     # component contributes its fh*fv blocks row-major
     order = []
@@ -538,39 +770,104 @@ def encode_jpeg_with_expected(
                         order.append(
                             (ci, (my * fv + vy) * (mcux * fh) + mx * fh + vx)
                         )
-    for ci, bi in order:
-        zz = per_comp[ci][bi]
-        diff = int(zz[0]) - pred[ci]
-        pred[ci] = int(zz[0])
+
+    def _sos_segment(comp_ids: list[int], ss: int, se: int,
+                     ah: int, al: int) -> bytes:
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in comp_ids)
+        return (
+            b"\xff\xda"
+            + struct.pack(">H", 6 + 2 * len(comp_ids))
+            + bytes([len(comp_ids)])
+            + sos_comps
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def _dc_diff_bits(writer, diff):
         t = _size_of(diff)
         length, code = dc_table.encode[t]
         writer.write(code, length)
         if t:
             writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-        # AC coefficients with run-length coding
-        k = 1
-        run = 0
-        while k < 64:
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-            else:
-                while run > 15:
-                    length, code = ac_table.encode[0xF0]
-                    writer.write(code, length)
-                    run -= 16
-                s = _size_of(v)
-                length, code = ac_table.encode[(run << 4) | s]
-                writer.write(code, length)
-                writer.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            k += 1
-        if run:
-            length, code = ac_table.encode[0x00]  # EOB
-            writer.write(code, length)
-    entropy = writer.flush()
 
-    ncomp = len(planes)
+    scan_bytes = []
+    if not progressive:
+        writer = _BitWriter()
+        pred = [0] * ncomp
+        for ci, bi in order:
+            zz = per_comp[ci][bi]
+            _dc_diff_bits(writer, int(zz[0]) - pred[ci])
+            pred[ci] = int(zz[0])
+            # AC coefficients with run-length coding
+            k = 1
+            run = 0
+            while k < 64:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        length, code = ac_table.encode[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = _size_of(v)
+                    length, code = ac_table.encode[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if run:
+                length, code = ac_table.encode[0x00]  # EOB
+                writer.write(code, length)
+        scan_bytes.append(
+            _sos_segment(list(range(ncomp)), 0, 63, 0, 0) + writer.flush()
+        )
+    else:
+        # spectral selection + one level of successive approximation:
+        #   DC(Al=1) → DC refine → per-component AC 1..63 (Al=1)
+        #   → per-component AC refine (Ah=1, Al=0)
+        writer = _BitWriter()
+        pred = [0] * ncomp
+        for ci, bi in order:  # DC first scan, interleaved, Al=1
+            shifted = int(per_comp[ci][bi][0]) >> 1
+            _dc_diff_bits(writer, shifted - pred[ci])
+            pred[ci] = shifted
+        scan_bytes.append(
+            _sos_segment(list(range(ncomp)), 0, 0, 0, 1) + writer.flush()
+        )
+        writer = _BitWriter()
+        for ci, bi in order:  # DC refinement: one bit per block
+            writer.write(int(per_comp[ci][bi][0]) & 1, 1)
+        scan_bytes.append(
+            _sos_segment(list(range(ncomp)), 0, 0, 1, 0) + writer.flush()
+        )
+        # non-interleaved AC scans traverse the component's OWN
+        # ceil-block grid (T.81 A.2.2), not the MCU-padded grid
+        def _ac_blocks(ci):
+            fh, fv = comp_factors[ci]
+            ch, cw = comp_dims[ci]
+            bw = mcux * fh
+            return [
+                per_comp[ci][by * bw + bx]
+                for by in range((ch + 7) // 8)
+                for bx in range((cw + 7) // 8)
+            ]
+
+        for ci in range(ncomp):
+            writer = _BitWriter()
+            state = {"eobrun": 0, "pending": []}
+            _encode_ac_first_scan(
+                writer, ac_table, _ac_blocks(ci), 1, 63, 1, state
+            )
+            _emit_eobrun(writer, ac_table, state)
+            scan_bytes.append(_sos_segment([ci], 1, 63, 0, 1) + writer.flush())
+        for ci in range(ncomp):
+            writer = _BitWriter()
+            state = {"eobrun": 0, "pending": []}
+            _encode_ac_refine_scan(
+                writer, ac_table, _ac_blocks(ci), 1, 63, 0, state
+            )
+            _emit_eobrun(writer, ac_table, state)
+            scan_bytes.append(_sos_segment([ci], 1, 63, 1, 0) + writer.flush())
     sof_comps = b"".join(
         bytes([
             cid + 1,
@@ -579,21 +876,13 @@ def encode_jpeg_with_expected(
         ])
         for cid in range(ncomp)
     )
-    sof0 = (
-        b"\xff\xc0"
+    sof = (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
         + struct.pack(">H", 8 + 3 * ncomp)
         + bytes([8])
         + struct.pack(">HH", h, w)
         + bytes([ncomp])
         + sof_comps
-    )
-    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
-    sos = (
-        b"\xff\xda"
-        + struct.pack(">H", 6 + 2 * ncomp)
-        + bytes([ncomp])
-        + sos_comps
-        + b"\x00\x3f\x00"
     )
     app0 = (
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
@@ -603,11 +892,10 @@ def encode_jpeg_with_expected(
         b"\xff\xd8" + app0
         + _dqt_segment(0, qy)
         + (b"" if gray else _dqt_segment(1, qc))
-        + sof0
+        + sof
         + _dht_segment(0, 0, dc_bits, dc_vals)
         + _dht_segment(1, 0, ac_bits, ac_vals)
-        + sos
-        + entropy
+        + b"".join(scan_bytes)
         + b"\xff\xd9"
     )
 

@@ -255,12 +255,15 @@ def decode_image_batches(
 
     ``real_decode=True`` runs the REAL pixel path for PNG blobs
     (:func:`decode_png_py`: stdlib-zlib inflate + unfilter), baseline
-    JPEG blobs (:func:`sparkcrawler.functions.jpeg.decode_jpeg_py`:
-    pure-numpy Huffman + dequant + IDCT + YCbCr→RGB), and GIF blobs
+    AND progressive JPEG blobs
+    (:func:`sparkcrawler.functions.jpeg.decode_jpeg_py`: pure-numpy
+    Huffman + successive-approximation refinement + dequant + IDCT +
+    YCbCr→RGB), and GIF blobs
     (:func:`sparkcrawler.functions.gif.decode_gif_py`: full LZW +
     palette + interlace), then the average-pool feature; it still
     raises ``NotImplementedError`` for the remaining env-constrained
-    variants (progressive JPEG, sampling factors above 2).
+    variants (arithmetic coding, 12-bit, restart markers, sampling
+    factors above 2).
     ``real_decode=False`` keeps
     the deterministic checksum stand-in for every format, so the
     pipeline shape is exercisable on any blob."""

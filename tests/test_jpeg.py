@@ -74,11 +74,62 @@ def test_byte_stuffing_roundtrip():
     pytest.fail("no test image produced a stuffed entropy byte")
 
 
-def test_refuses_progressive_sof2():
+def test_progressive_roundtrip_exact():
+    """SOF2 progressive (spectral selection + one successive-
+    approximation level: DC Al=1 → DC refine → per-component AC first
+    Al=1 → AC refine) decodes bit-exactly to the SAME expected
+    reconstruction as the baseline encoding of the same coefficients —
+    the refinement machinery must reassemble every coefficient
+    exactly, not approximately."""
+    for samp in ("444", "422", "420"):
+        for h, w in ((16, 16), (17, 23), (33, 31)):
+            img = _rgb_pattern(h, w, seed=h + w)
+            blob, expected = encode_jpeg_with_expected(
+                img, quality=80, subsampling=samp, progressive=True
+            )
+            base_blob, base_expected = encode_jpeg_with_expected(
+                img, quality=80, subsampling=samp
+            )
+            assert np.array_equal(expected, base_expected)
+            got = decode_jpeg_py(blob)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, expected), f"prog {samp} {h}x{w}"
+
+
+def test_progressive_gray_and_eob_runs():
+    """Grayscale progressive, plus a flat image whose AC scans are one
+    long EOB run — exercises the EOBn (run>1) decode path — plus
+    high-frequency noise at q95 (dense refinement correction bits)."""
+    g = (
+        (np.arange(24)[:, None] * 3 + np.arange(40)[None, :] * 2) % 256
+    ).astype(np.uint8)
+    flat = np.full((64, 64), 130, dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    for img, q in ((g, 75), (flat, 75), (noise, 95)):
+        blob, expected = encode_jpeg_with_expected(
+            img, quality=q, progressive=True
+        )
+        assert np.array_equal(decode_jpeg_py(blob), expected)
+
+
+def test_refuses_arithmetic_sof9():
     blob = encode_jpeg_py(_rgb_pattern(8, 8))
-    broken = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    broken = blob.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg_py(broken)
+
+
+def test_refuses_multiscan_sequential():
+    """A second SOS in a BASELINE (SOF0) stream is out of envelope —
+    refused loudly, not misparsed."""
+    blob = encode_jpeg_py(_rgb_pattern(8, 8))
+    i = blob.find(b"\xff\xda")
+    seg_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+    sos = blob[i : i + 2 + seg_len]
+    doubled = blob[:-2] + sos + b"\x00" + blob[-2:]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg_py(doubled)
 
 
 def test_subsampled_roundtrip_exact():

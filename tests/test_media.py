@@ -140,17 +140,17 @@ def test_decode_media_schema_and_determinism(spark):
 
 def test_real_decode_stubbed_for_codec_formats():
     """Variants outside the implemented codec envelopes (here:
-    progressive JPEG, SOF2) must still refuse a real decode loudly —
-    never approximate silently."""
+    arithmetic-coded JPEG, SOF9) must still refuse a real decode
+    loudly — never approximate silently."""
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
-    sof2 = (
-        b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+    sof9 = (
+        b"\xff\xc9" + struct.pack(">H", 17) + b"\x08"
         + struct.pack(">HH", 8, 8) + b"\x03" + b"\x00" * 9
     )
-    prog = b"\xff\xd8" + app0 + sof2 + b"\xff\xd9"
-    pdf = pd.DataFrame({"media_id": ["p0"], "blob": [prog]})
+    arith = b"\xff\xd8" + app0 + sof9 + b"\xff\xd9"
+    pdf = pd.DataFrame({"media_id": ["p0"], "blob": [arith]})
     with pytest.raises(NotImplementedError):
         next(decode_image_batches(iter([pdf]), real_decode=True))
 
