@@ -360,6 +360,7 @@ class ExactSeenShards:
         self.num_shards = num_shards
         self.shards_df: DataFrame | None = None
         self.n_added = 0
+        self._retired: DataFrame | None = None  # lazy-fold predecessor
 
     # ------------------------------------------------------------- build --
 
@@ -386,11 +387,22 @@ class ExactSeenShards:
             .applyInPandas(pack, schema=self._STATE_SCHEMA)
         )
 
-    def update_from_df(self, df: DataFrame, n_rows: int | None = None) -> None:
+    def update_from_df(
+        self,
+        df: DataFrame,
+        n_rows: int | None = None,
+        eager: bool = True,
+    ) -> None:
         """Fold a delta of ``url_hash`` rows into the packed state.
-        Only packed shard rows shuffle; the swap materializes the new
-        state before dropping the old (same discipline as
-        :meth:`DistributedBloom.update_from_df`)."""
+        Only packed shard rows shuffle.
+
+        ``eager=True`` materializes the new state with a count before
+        dropping the old (the :meth:`DistributedBloom.update_from_df`
+        discipline). ``eager=False`` skips that per-fold job entirely:
+        the new state materializes as a side effect of the NEXT action
+        that consults it (the crawl's next frontier write), and the
+        predecessor stays cached until :meth:`reap` — one fewer
+        serial job barrier per fold in the crawl loop."""
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             bufs = [np.frombuffer(b, dtype=np.int64) for b in pdf["hashes"]]
@@ -403,6 +415,11 @@ class ExactSeenShards:
                 }
             )
 
+        if self._retired is not None:
+            # the lazy-fold slot is single-depth: materialize the
+            # current state before chaining another fold on top of it
+            self.shards_df.count()
+            self.reap()
         delta = self._packed_delta(df)
         new = (
             delta
@@ -412,11 +429,27 @@ class ExactSeenShards:
             .applyInPandas(merge, schema=self._STATE_SCHEMA)
         )
         new = new.persist()
-        new.count()  # materialize before dropping the previous state
-        if self.shards_df is not None:
-            self.shards_df.unpersist()
+        if eager:
+            new.count()  # materialize before dropping the previous state
+            if self.shards_df is not None:
+                self.shards_df.unpersist()
+        else:
+            self._retired = self.shards_df
         self.shards_df = new
-        self.n_added += int(n_rows) if n_rows is not None else df.count()
+        if n_rows is not None:
+            self.n_added += int(n_rows)
+        elif eager:
+            self.n_added += df.count()
+        else:
+            self.n_added += 1  # unknown lazily — only "nonzero" matters
+
+    def reap(self) -> None:
+        """Release a lazily-retired predecessor state — call after an
+        action that materialized the successor (e.g. the frontier
+        write following a lazy fold)."""
+        if self._retired is not None:
+            self._retired.unpersist()
+            self._retired = None
 
     # ------------------------------------------------------------- query --
 
@@ -480,6 +513,7 @@ class ExactSeenShards:
         )
 
     def release(self) -> None:
+        self.reap()
         if self.shards_df is not None:
             self.shards_df.unpersist()
             self.shards_df = None

@@ -552,6 +552,7 @@ def crawl(
         backend = "join"
     exact = None
     exact_covered = next_round  # exact state holds rows with round <= this
+    exact_pending_new = 0       # is_new rows written since the last fold
     if backend == "cogroup":
         exact = ExactSeenShards(spark, cfg.seen_shards)
         dirs = _committed_dirs(fs, out_dir, "frontier", next_round)
@@ -700,7 +701,11 @@ def crawl(
             break
         frontier = _read_frontier(spark, frontier_path)
         if frontier_count is None:
-            frontier_count = frontier.count()
+            # footer row counts via the fs shim — no Spark count job
+            frontier_count = sum(
+                fs.parquet_num_rows(f)
+                for f in fs.glob(fs.join(frontier_path, "*.parquet"))
+            )
         if frontier_count == 0:
             break
 
@@ -708,16 +713,24 @@ def crawl(
         max_admit = remaining if frontier_count > remaining else None
 
         t_round = time.time()
-        # small frontier → ONE tiny collect powers both prunings:
-        # the url IN-list pushed into the corpus scan, and (for a
-        # url_bucket-partitioned corpus) the partition-dir set derived
-        # driver-side from the same urls via the pure-Python xxh64.
+        # small frontier → ONE tiny driver-side columnar read powers
+        # both prunings: the url IN-list pushed into the corpus scan,
+        # and (for a url_bucket-partitioned corpus) the partition-dir
+        # set derived from the same urls via the pure-Python xxh64.
+        # pyarrow over the just-written snapshot, NOT a Spark collect —
+        # a per-round Spark job is ~0.2s of pure driver latency that
+        # never shrinks with cores (same fs-shim read the round metrics
+        # already do).
         frontier_buckets = None
         frontier_urls = None
         if frontier_count <= cfg.fetch_pushdown_limit:
-            frontier_urls = [
-                row[0] for row in frontier.select("url").collect()
-            ]
+            frontier_urls = sorted(
+                u
+                for f in fs.glob(fs.join(frontier_path, "*.parquet"))
+                for u in fs.read_parquet(f, columns=["url"])
+                .column("url")
+                .to_pylist()
+            )
             if cfg.corpus_buckets:
                 frontier_buckets = sorted(
                     {url_hash64(u) % cfg.corpus_buckets for u in frontier_urls}
@@ -841,21 +854,31 @@ def crawl(
         if cfg.lineage:
             _write_lineage_rows(fs, out_dir, run_id, r, m)
 
-        if exact is not None and n_new >= cfg.bloom_update_min_batch:
-            # fold every not-yet-covered snapshot into the exact shards
-            # (same batching discipline as the bloom below; until the
-            # fold, those rounds ride filter_new's uncovered side)
-            fold_dirs = [
-                fs.join(out_dir, "frontier", f"r{i}")
-                for i in range(exact_covered + 1, r + 2)
-                if fs.exists(fs.join(out_dir, "frontier", f"r{i}"))
-            ]
-            if fold_dirs:
-                exact.update_from_df(
-                    _read_frontier(spark, *fold_dirs).where(F.col("is_new")),
-                    n_rows=n_new if exact_covered == r else None,
-                )
-                exact_covered = r + 1
+        if exact is not None:
+            # the previous round's lazy fold materialized during this
+            # round's frontier write — its predecessor can go now
+            exact.reap()
+            exact_pending_new += n_new
+            if n_new >= cfg.bloom_update_min_batch:
+                # fold every not-yet-covered snapshot into the exact
+                # shards (same batching discipline as the bloom below;
+                # until the fold, those rounds ride filter_new's
+                # uncovered side). Lazy: no per-fold count job — the
+                # merged state materializes inside the NEXT round's
+                # frontier write.
+                fold_dirs = [
+                    fs.join(out_dir, "frontier", f"r{i}")
+                    for i in range(exact_covered + 1, r + 2)
+                    if fs.exists(fs.join(out_dir, "frontier", f"r{i}"))
+                ]
+                if fold_dirs:
+                    exact.update_from_df(
+                        _read_frontier(spark, *fold_dirs).where(F.col("is_new")),
+                        n_rows=exact_pending_new,
+                        eager=False,
+                    )
+                    exact_covered = r + 1
+                    exact_pending_new = 0
         if bloom is not None and n_new >= cfg.bloom_update_min_batch:
             # fold in EVERY round not yet covered — this round's delta
             # plus any round previously skipped by the batching
