@@ -2114,6 +2114,14 @@ def _ivf_assign(spark, sf_dir):
             ).alias("anchors")
         )
     )
+    return _ivf_nearest(eint, anchors)
+
+
+def _ivf_nearest(eint, anchors):
+    """Nearest-anchor fold shared by the coarse and refined passes:
+    ``eint`` rows (vec_id, label, e, ei) × one broadcast row holding
+    the anchor array — map-side HOF fold, zero exchanges, exact int64
+    (ties break on the smaller anchor id inside the fold)."""
     dot_a = lambda a: F.aggregate(
         F.zip_with("ei", a["c"], lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -2144,6 +2152,65 @@ def _ivf_assign(spark, sf_dir):
     )
 
 
+def _ivf_refined(spark, sf_dir):
+    """One integer-exact Lloyd step over the coarse assignment: each
+    coarse cluster's refined centroid is the per-dimension FLOOR-MEAN
+    of its members' floor(1e4·x) integer components — computed as
+    ``(s - pmod(s, cnt)) / cnt`` over exact int64 sums, so the refined
+    grid is deterministic in any engine and any evaluation order (a
+    double-precision mean would be order-sensitive at floor
+    boundaries). Vectors then re-assign to the nearest refined
+    centroid with the same exact fold. Sampled anchors are a crude
+    quantizer (they sit inside dense regions, wasting list balance);
+    one Lloyd step moves each centroid to its cell's mass center,
+    which tightens lists and lifts recall at the same NPROBE/scan
+    fraction — pinned by test_ann.py against the unrefined variant."""
+    a0 = _ivf_assign(spark, sf_dir).where(F.col("vec_id") > 0)
+    mem = a0.select(
+        "cluster",
+        F.posexplode(
+            F.transform("e", lambda v: F.floor(v * 10000))
+        ).alias("d", "x"),
+    )
+    cent = (
+        mem.groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        # exact floor(s / cnt): strip the (nonnegative) pmod remainder,
+        # then the division is integer-exact well inside 2^53
+        .selectExpr(
+            "cluster", "d",
+            "CAST((s - pmod(s, cnt)) / cnt AS BIGINT) AS c",
+        )
+    )
+    anchors2 = (
+        cent.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select(
+            F.col("cluster").cast("int").alias("aid"),
+            F.transform("dc", lambda s: s["c"]).alias("c"),
+        )
+        .select(
+            "aid", "c",
+            F.aggregate(
+                "c", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("n2"),
+        )
+        .select(
+            F.collect_list(F.struct("aid", "c", "n2")).alias("anchors")
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    eint = emb.select(
+        "vec_id",
+        "label",
+        _dbl("embedding").alias("e"),
+        F.transform(
+            _dbl("embedding"), lambda v: F.floor(v * 10000)
+        ).alias("ei"),
+    )
+    return _ivf_nearest(eint, anchors2), anchors2
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-flat ANN (the other classic scale path next to the
     hyperplane-LSH index): every vector is assigned to its nearest of
@@ -2164,25 +2231,28 @@ def ann_ivf_topk(spark, sf_dir):
     fetch is a broadcast semi-join on cluster id. ‖e‖² is dropped from
     the argmin (constant per row) so every compared quantity is exact
     int64."""
-    assigned = _ivf_assign(spark, sf_dir)
-    # the query's NPROBE nearest anchors: rank its 16 anchor distances
+    assigned, anchors2 = _ivf_refined(spark, sf_dir)
+    # the query's NPROBE nearest REFINED centroids (round 6: one
+    # integer-exact Lloyd step over the sampled anchors, _ivf_refined —
+    # recall at the same scan fraction improves vs the raw sample,
+    # pinned in test_ann.py; the DuckDB oracle reproduces the refined
+    # assignment bit-for-bit because the floor-mean is exact int64)
     emb = _t(spark, sf_dir, "embeddings")
     eint_q = emb.where(F.col("vec_id") == 0).select(
         F.transform(_dbl("embedding"), lambda v: F.floor(v * 10000)).alias("qi")
     )
-    anch = (
-        emb.where(F.col("vec_id").between(1, IVF_K))
-        .select(
-            F.col("vec_id").cast("int").alias("aid"),
-            F.transform(_dbl("embedding"), lambda v: F.floor(v * 10000)).alias("ci"),
-        )
-    )
     qdist = (
-        anch.join(F.broadcast(eint_q))
+        anchors2.select(F.explode("anchors").alias("a"))
+        .select(
+            F.col("a.aid").alias("aid"),
+            F.col("a.c").alias("ci"),
+            F.col("a.n2").alias("n2"),
+        )
+        .join(F.broadcast(eint_q))
         .select(
             "aid",
             (
-                F.aggregate("ci", F.lit(0).cast("long"), lambda a, x: a + x * x)
+                F.col("n2")
                 - 2
                 * F.aggregate(
                     F.zip_with("ci", "qi", lambda x, y: x * y),
@@ -2219,9 +2289,12 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def _ivf_sql() -> str:
-    """Relational twin of the IVF pipeline: explode to (vec_id, d,
-    e_int), join on dimension against the K anchor vectors, exact
-    integer dists, argmin per vector, query's top-NPROBE lists, cosine
+    """Relational twin of the refined-IVF pipeline: explode to
+    (vec_id, d, e_int), coarse-assign against the K sampled anchors,
+    ONE Lloyd step (per-cluster per-dimension exact integer floor-mean
+    — ``(s - pmod(s, cnt)) / cnt`` over int64 sums, so the refined
+    grid is engine- and order-independent), re-assign against the
+    refined centroids, query's top-NPROBE refined lists, cosine
     re-rank (same round-4dp contract as the other ANN oracles)."""
     return f"""
 WITH ex AS (
@@ -2237,11 +2310,34 @@ anch AS (
 ),
 an2 AS (SELECT aid, CAST(sum(c_int * c_int) AS BIGINT) AS n2
         FROM anch GROUP BY aid),
-dists AS (
+dists0 AS (
   SELECT e.vec_id, a.aid,
          CAST(an2.n2 - 2 * sum(e.e_int * a.c_int) AS BIGINT) AS dist
   FROM ex e JOIN anch a USING (d) JOIN an2 ON an2.aid = a.aid
+  WHERE e.vec_id > 0
   GROUP BY e.vec_id, a.aid, an2.n2
+),
+assign0 AS (
+  SELECT vec_id, aid AS cluster
+  FROM dists0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, aid) = 1
+),
+cent AS (
+  SELECT cluster, d,
+         CAST((s - ((s % cnt) + cnt) % cnt) / cnt AS BIGINT) AS c_int
+  FROM (SELECT s0.cluster, e.d,
+               CAST(sum(e.e_int) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ex e JOIN assign0 s0 USING (vec_id)
+        GROUP BY s0.cluster, e.d)
+),
+cn2 AS (SELECT cluster, CAST(sum(c_int * c_int) AS BIGINT) AS n2
+        FROM cent GROUP BY cluster),
+dists AS (
+  SELECT e.vec_id, c.cluster AS aid,
+         CAST(cn2.n2 - 2 * sum(e.e_int * c.c_int) AS BIGINT) AS dist
+  FROM ex e JOIN cent c USING (d) JOIN cn2 ON cn2.cluster = c.cluster
+  GROUP BY e.vec_id, c.cluster, cn2.n2
 ),
 assign AS (
   SELECT vec_id, aid AS cluster

@@ -310,10 +310,15 @@ def build_round(
         "CAST(round + 1 AS INT) AS round", "attempt",
     ]
     retry_sel = defer_sel[:-1] + ["CAST(attempt + 1 AS INT) AS attempt"]
-    deferred_out = deferred.selectExpr(*defer_sel).unionByName(
-        retryable.selectExpr(*retry_sel)
-    )
-    if has_status and rl_retry is not None:
+    deferred_out = deferred.selectExpr(*defer_sel)
+    if retries > 1:
+        # attempt >= 0 always, so with retries == 1 the retryable set is
+        # empty BY CONSTRUCTION — Catalyst can't see that (attempt is
+        # data), and keeping the branch would drag the fetch-miss
+        # anti-join's broadcast build into every frontier-write job
+        deferred_out = deferred_out.unionByName(retryable.selectExpr(*retry_sel))
+    if has_status and rl_retry is not None and retries > 1:
+        # same construction argument: 429 re-enqueues need retries > 1
         deferred_out = deferred_out.unionByName(rl_retry.selectExpr(*retry_sel))
 
     return RoundPlan(

