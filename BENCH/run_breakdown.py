@@ -64,6 +64,14 @@ def run_bench(cpus: int, pages: int, fanout: int, paras: int) -> dict:
     res = json.loads(
         [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     )
+    # stdout carries the slim copy (round_stats compressed to walls for
+    # the driver's tail capture) — take the full per-round dicts from
+    # the side file bench.py writes for exactly this purpose
+    try:
+        with open(os.path.join(HERE, "last_run.json")) as f:
+            res = json.load(f)
+    except (OSError, ValueError):
+        pass
     rounds: dict[int, dict[str, float]] = {}
     for line in out.stderr.splitlines():
         m = _TRACE_RE.search(line)
