@@ -245,9 +245,17 @@ HEADLINE = [
 
 
 def bench_queries(spark, sf_dir: str) -> dict:
-    from sparkcrawler.analytics import CATALOG, _ann_index_dir
+    from sparkcrawler.analytics import (
+        CATALOG, _ann_index_dir, _demo_crawl_dir, _outdegree_expected_dir,
+    )
 
     timings = {}
+    # one-off inputs the crawl-family queries read (content-hash-keyed
+    # demo crawl + outdegree oracle): build them OUTSIDE any query's
+    # timing — after a crawl-module change the rebuild is ~25s and
+    # would otherwise land inside whichever crawl query runs first
+    _demo_crawl_dir(spark)
+    _outdegree_expected_dir()
     # the ANN index build is the one-off INDEXING job (the catalog query
     # then runs partition-pruned searches against it); time it as its
     # own line so the query number measures the search, not the build

@@ -191,6 +191,10 @@ def test_real_decode_pipeline_mixed_png_jpeg(spark):
             ),
             quality=95,
         ),
+        # progressive (SOF2) rides the same real_decode path
+        "j2": encode_jpeg_with_expected(
+            _rgb_pattern(13, 18, seed=5), quality=80, progressive=True
+        )[0],
     }
     df = spark.createDataFrame(
         pd.DataFrame(
