@@ -20,8 +20,13 @@ Scale notes (the 100-TB design point): near-dup graphs are dense
 — so the iteration count is the component diameter, typically 2-4, not
 O(log n) worst-case chains. Each iteration is one partial-aggregated
 shuffle on the node id; edge and label tables stay partitioned by the
-same key across iterations. ``localCheckpoint`` truncates the lineage
-each round so the plan does not grow with the iteration count. For
+same key across iterations. Each round's label table is snapshotted to
+a temp parquet dir (the superseded round's dir is deleted immediately),
+which truncates the lineage like ``localCheckpoint`` without pinning
+executor storage blocks — ``localCheckpoint`` persists its RDDs and the
+ContextCleaner releases them only after Python GC, which left blocks
+pinned (and the ``no_persist_leak`` test fixture tripping) for the rest
+of a long-lived session. For
 adversarial long-chain graphs, ``algorithm="star"`` switches to the
 alternating large-star / small-star rule (:func:`_star_components`,
 O(log n) rounds) — same output, pinned equal in tests.
@@ -29,7 +34,41 @@ O(log n) rounds) — same output, pinned equal in tests.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, functions as F
+
+_LIVE_DIRS: set[str] = set()
+
+
+def _cleanup_live_dirs() -> None:
+    for d in list(_LIVE_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_live_dirs)
+
+
+def _materialize(df: DataFrame, prev_dir: str | None = None):
+    """Eagerly write ``df`` to a temp parquet dir and read it back.
+
+    Truncates lineage exactly like ``localCheckpoint(eager=True)`` but
+    holds NO executor-pinned blocks afterwards: ``localCheckpoint``
+    persists its RDDs and only the ContextCleaner releases them (after
+    the Python object is GC'd, asynchronously), which left every
+    iteration's label table pinned in storage for the rest of the
+    session. ``prev_dir`` (the superseded iteration's dir) is deleted
+    once the new snapshot is fully written — the new DataFrame reads
+    only its own files, so nothing still references it."""
+    out = tempfile.mkdtemp(prefix="sc_dedup_ck_")
+    _LIVE_DIRS.add(out)
+    df.write.mode("overwrite").parquet(out)
+    if prev_dir is not None:
+        shutil.rmtree(prev_dir, ignore_errors=True)
+        _LIVE_DIRS.discard(prev_dir)
+    return df.sparkSession.read.parquet(out), out
 
 
 def _propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -75,7 +114,7 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
     The edge set converges to stars whose centers are the component
     minima; fixpoint when a round leaves the canonical edge set
     unchanged (checked with one count — labels only ever decrease)."""
-    cur = edges.localCheckpoint(eager=True)
+    cur, cur_dir = _materialize(edges)
     for _ in range(max_iters):
         # m(u) over the bidirectional edge list
         m = cur.groupBy("src").agg(
@@ -106,13 +145,12 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
             .where(F.col("a") != F.col("b"))
             .distinct()
         )
-        stepped = (
+        stepped, stepped_dir = _materialize(
             ss.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionByName(
                 ss.select(F.col("b").alias("src"), F.col("a").alias("dst"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # convergence: the per-node neighborhood minimum stopped moving
         prev_m = cur.groupBy("src").agg(
@@ -128,7 +166,11 @@ def _star_components(edges: DataFrame, max_iters: int) -> DataFrame:
             )
             .count()
         )
-        cur = stepped
+        # the convergence count above was the last reader of the
+        # superseded snapshot — safe to drop its files now
+        shutil.rmtree(cur_dir, ignore_errors=True)
+        _LIVE_DIRS.discard(cur_dir)
+        cur, cur_dir = stepped, stepped_dir
         if changed == 0:
             break
     else:
@@ -189,18 +231,19 @@ def dedup_clusters(
         return out
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    labels = (
+    labels, labels_dir = _materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     changed = None
     for _ in range(max_iters):
         stepped = labels.withColumn("_old", F.col("cluster_id"))
         for _ in range(steps_per_action):
             stepped = _propagate(edges, stepped)
-        stepped = stepped.localCheckpoint(eager=True)  # truncate lineage
+        # truncate lineage; the superseded snapshot's files are dropped
+        # as soon as the new one is fully written
+        stepped, labels_dir = _materialize(stepped, labels_dir)
         changed = stepped.where(F.col("cluster_id") < F.col("_old")).count()
         labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:

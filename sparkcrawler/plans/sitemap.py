@@ -138,20 +138,30 @@ def crawl_with_priming(
     from sparkcrawler.operators.robots import robots_from_corpus
     from sparkcrawler.plans.crawl import crawl
 
+    own_robots = None
     if robots is None:
         # parsed once, materialized: the dim is joined (broadcast) every
         # round and collected by the priming probe — don't re-parse
-        robots = robots_from_corpus(pages).persist()
+        robots = own_robots = robots_from_corpus(pages).persist()
 
-    extra, sitemaps_df = prime_from_sitemap(spark, pages, robots, seed_url, run_id)
-    if sitemaps_df is not None:
-        sitemaps_df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "sitemaps")
+    try:
+        extra, sitemaps_df = prime_from_sitemap(
+            spark, pages, robots, seed_url, run_id
         )
-    return crawl(
-        spark, pages, robots, [seed_url], out_dir,
-        run_id=run_id, config=config, extra_frontier=extra,
-    )
+        if sitemaps_df is not None:
+            sitemaps_df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "sitemaps")
+            )
+        return crawl(
+            spark, pages, robots, [seed_url], out_dir,
+            run_id=run_id, config=config, extra_frontier=extra,
+        )
+    finally:
+        # release the dim we pinned ourselves: a long-lived session
+        # running many priming crawls must not accrete one persisted
+        # robots table per call
+        if own_robots is not None:
+            own_robots.unpersist()
 
 
 def sitemap_index_edges(sitemaps_df: DataFrame) -> DataFrame:

@@ -218,3 +218,23 @@ def test_star_keep_per_cluster_composes(spark):
         for r in keep_per_cluster(docs, clusters).collect()
     }
     assert kept == {1: (1, 3), 2: (2, 2), 3: (3, 1)}
+
+
+@pytest.mark.parametrize("algorithm", ["label", "star"])
+def test_no_persisted_rdds_after_clusters(spark, algorithm):
+    """dedup_clusters must leave executor storage exactly as it found
+    it: lineage truncation now snapshots to temp parquet instead of
+    ``localCheckpoint`` (whose RDDs stay pinned until the
+    ContextCleaner races GC), so the check needs no gc.collect()."""
+    from sparkcrawler.operators.dedup import dedup_clusters
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(df, algorithm=algorithm)
+    assert out.count() == 9
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"persisted RDDs grew {before} -> {after}"
+    # the result stays readable after the run (snapshot dir is live)
+    assert len(out.collect()) == 9

@@ -52,15 +52,24 @@ ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.sql is None)
 
 @pytest.fixture(autouse=True)
 def no_persist_leak(request, spark):
-    """Every catalog query must leave executor storage empty: whatever a
-    query persists internally (pagerank's edge list, the crawl demo
-    build's round caches, Bloom shard bitmaps) must be unpersisted by
-    the time its action returns — a long-lived session running the
-    catalog repeatedly at scale must not accrete pinned blocks."""
+    """Every catalog query must leave executor storage no fuller than it
+    found it: whatever a query persists internally (pagerank's edge
+    list, the crawl demo build's round caches, Bloom shard bitmaps)
+    must be unpersisted by the time its action returns — a long-lived
+    session running the catalog repeatedly at scale must not accrete
+    pinned blocks. Baseline-delta (not absolute-zero) plus gc.collect()
+    so the check cannot race the ContextCleaner over RDDs released
+    asynchronously by earlier test modules in the same session."""
+    import gc
+
+    gc.collect()
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     yield
+    gc.collect()
     leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert leaked == 0, (
-        f"{request.node.name}: {leaked} RDD(s) still persisted after query"
+    assert leaked <= baseline, (
+        f"{request.node.name}: persisted RDDs grew {baseline} -> {leaked} "
+        "after query"
     )
 
 
