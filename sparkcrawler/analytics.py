@@ -56,10 +56,27 @@ _TESTDATA_DDL = {
 }
 
 
+# Tables whose per-row work dominates their byte size (text/vector
+# payloads feeding UDF-heavy or explode-heavy pipelines). Their scans
+# are widened to the session's core count when the natural file split
+# produces fewer tasks — at sandbox scale a 6 MB documents.parquet
+# splits into 2 tasks (maxPartitionBytes=128m, openCostInBytes=4m), so
+# every pre-exchange stage (gram explode, regex, Arrow pass) ran on 2
+# of N cores. Scale-adaptive by construction: a corpus that already
+# scans with >= defaultParallelism splits is returned untouched, so no
+# full-corpus shuffle ever appears at real scale (guide §2.5/§6.1).
+_WIDEN_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ddl = _TESTDATA_DDL.get(name)
     reader = spark.read.schema(ddl) if ddl else spark.read
-    return reader.parquet(f"{sf_dir}/{name}.parquet")
+    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _WIDEN_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 @dataclass(frozen=True)
