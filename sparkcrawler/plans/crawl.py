@@ -128,6 +128,16 @@ class CrawlConfig:
     hot_hosts: int = 0
     # cumulative new-URL count a host needs before promotion
     hot_host_min_new: int = 256
+    # submit the round's two sink jobs (crawl_log write, next-frontier
+    # write) from two driver threads so the frontier job's tasks
+    # back-fill executors freed by the crawl_log job's tail instead of
+    # waiting for the full barrier (guide §2.6 overlap). Both jobs read
+    # the politeness decision and extract-UDF output through the same
+    # persisted DataFrames; Spark's per-block locking makes concurrent
+    # cache population compute each partition once. Writes land in
+    # different dirs and the round marker still commits strictly after
+    # both, so resume semantics and outputs are bit-identical.
+    overlap_sinks: bool = True
 
 
 @dataclass
@@ -138,6 +148,28 @@ class CrawlResult:
     out_dir: str
     wall_seconds: float
     round_stats: list[dict] = field(default_factory=list)
+
+
+_SINK_POOL = None
+
+
+def _sink_pool(spark):
+    """Lazily-created single-worker driver thread pool for submitting a
+    round's crawl_log write concurrently with its frontier write
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially). One worker is enough — exactly two jobs are
+    ever in flight, and FIFO scheduling lets the second back-fill the
+    first's straggler tail. Under Py4J pinned-thread mode (the default
+    since Spark 3.2) the pool thread owns its own JVM thread-locals,
+    so job descriptions set inside it never leak to the main thread."""
+    global _SINK_POOL
+    if _SINK_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SINK_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="sc-sink"
+        )
+    return _SINK_POOL
 
 
 def _marker(fs: LocalFS, out_dir: str, name: str) -> str:
@@ -775,12 +807,25 @@ def crawl(
         # ---- job 1 (heavy): the round's crawl_log — one UDF execution ----
         par = spark.sparkContext.defaultParallelism
         t1 = time.time()
+
         # coalesce to the core count: a union of three branches would
         # otherwise emit 100+ tiny files whose later scans cost a task each
-        plan.crawl_log.coalesce(par).write.mode("overwrite").parquet(
-            fs.join(out_dir, "crawl_log", f"r{r}")
-        )
-        _tr(f"r{r} crawl_log write", t1)
+        def _write_crawl_log() -> None:
+            spark.sparkContext.setJobDescription(f"crawl r{r}: crawl_log")
+            plan.crawl_log.coalesce(par).write.mode("overwrite").parquet(
+                fs.join(out_dir, "crawl_log", f"r{r}")
+            )
+
+        log_future = None
+        if cfg.overlap_sinks:
+            # FIFO scheduling gives the (heavier, first-submitted)
+            # crawl_log job priority; the frontier job below back-fills
+            # its tail (guide §2.6). Submitted first so it also drives
+            # population of the shared decided/extracted cache.
+            log_future = _sink_pool(spark).submit(_write_crawl_log)
+        else:
+            _write_crawl_log()
+            _tr(f"r{r} crawl_log write", t1)
 
         # ---- job 2: next frontier = politeness-deferred ∪ (discovered ∖ seen)
         # Discovery reads the cached extract output, so the UDF never
@@ -835,10 +880,22 @@ def crawl(
             new_links.select(*FRONTIER_COLS).withColumn("is_new", F.lit(True))
         )
         t2 = time.time()
-        next_frontier.coalesce(par).write.mode("overwrite").parquet(
-            fs.join(out_dir, "frontier", f"r{r + 1}")
-        )
-        _tr(f"r{r} frontier write", t2)
+        try:
+            spark.sparkContext.setJobDescription(f"crawl r{r}: frontier")
+            next_frontier.coalesce(par).write.mode("overwrite").parquet(
+                fs.join(out_dir, "frontier", f"r{r + 1}")
+            )
+            spark.sparkContext.setJobDescription(None)
+        finally:
+            # strict barrier before any metric read / marker commit:
+            # the round is only committed once BOTH sinks are on disk,
+            # and a frontier-side failure must still await (and
+            # surface) the in-flight crawl_log job
+            if log_future is not None:
+                log_future.result()
+                _tr(f"r{r} crawl_log+frontier overlapped writes", t1)
+        if log_future is None:
+            _tr(f"r{r} frontier write", t2)
 
         # ---- driver-side: metrics, lineage, bloom delta (no Spark jobs) ----
         t3 = time.time()
