@@ -95,6 +95,11 @@ _TESTDATA_DDL = {
 # scans with >= defaultParallelism splits is returned untouched, so no
 # full-corpus shuffle ever appears at real scale (guide §2.5/§6.1).
 _WIDEN_TABLES = frozenset({"documents", "embeddings"})
+# (sf_dir, table, parallelism) -> widen?  The natural-split probe
+# (df.rdd.getNumPartitions()) costs ~0.1s of driver-side planning per
+# call; the answer is a pure function of the on-disk file layout and
+# the session core count, so it is computed once per table.
+_WIDEN_CACHE: dict[tuple[str, str, int], bool] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -103,7 +108,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(f"{sf_dir}/{name}.parquet")
     if name in _WIDEN_TABLES:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        key = (sf_dir, name, par)
+        widen = _WIDEN_CACHE.get(key)
+        if widen is None:
+            widen = df.rdd.getNumPartitions() < par
+            _WIDEN_CACHE[key] = widen
+        if widen:
             df = df.repartition(par)
     return df
 
@@ -952,17 +962,29 @@ def docs_simhash(spark, sf_dir):
     fingerprint bit i = sign of the ±1 sum over words. Emitted as two
     32-bit halves in BIGINT columns (``simhash_hi``/``simhash_lo``) so
     no signed-64 overflow semantics are in play cross-engine."""
+    # project the 16 nibble ints ONCE per word before the aggregate:
+    # the round-6 shape evaluated conv(substring(h, ...)) inside every
+    # one of the 64 sum() expressions — 4× the string slicing and
+    # radix conversion per word for the same values (guide §1.2
+    # per-task work); the aggregate itself now reads int columns and a
+    # bitmask only, and still partial-aggregates map-side.
     words = _words(spark, sf_dir).withColumn(
         "h", F.md5(F.col("w").cast("binary"))
     )
+    nibs = words.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
+            for j in range(16)
+        ],
+    )
     bit_sums = []
     for i in range(64):
-        nib = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
-        bit_set = nib.bitwiseAND(F.lit(1 << (i % 4))) > 0
+        bit_set = F.col(f"n{i // 4}").bitwiseAND(F.lit(1 << (i % 4))) > 0
         bit_sums.append(
             F.sum(F.when(bit_set, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{i}")
         )
-    per_doc = words.groupBy("doc_id").agg(*bit_sums)
+    per_doc = nibs.groupBy("doc_id").agg(*bit_sums)
 
     def _half(lo: int) -> F.Column:
         e = None
@@ -1418,24 +1440,34 @@ def docs_unigram_surprisal(spark, sf_dir):
     driver action and no crossJoin, and the word→count lookup is a
     broadcast hash join the corpus streams through. avg() of doubles
     differs across engines only in summation order; round(·,6) absorbs
-    it (both engines' ln is the same IEEE libm contract)."""
-    words = _words(spark, sf_dir)
-    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    it (both engines' ln is the same IEEE libm contract).
+
+    Round 7: everything runs over the (doc_id, word, count) table
+    instead of raw occurrence rows — the corpus is hash-partitioned on
+    doc_id once, the tf aggregate and the final per-doc aggregate both
+    reuse that exchange, the vocab is one more aggregate OF the tf
+    table (no second explode of the corpus), and the mean surprisal is
+    the count-weighted sum Σ tf·ln(total/c) / Σ tf — the same mean up
+    to double summation order, which round(·,6) already absorbed
+    cross-engine by contract."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    words = _words_of(docs.repartition(par, "doc_id"))
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("c"))
     vocab_tot = vocab.withColumn(
         "total", F.sum("c").over(Window.partitionBy())
     )
+    ln = F.log(F.col("total").cast("double") / F.col("c").cast("double"))
     return (
-        words.join(F.broadcast(vocab_tot), "w")
+        tf.join(F.broadcast(vocab_tot), "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_words"),
+            F.sum("tf").cast("long").alias("n_words"),
             F.round(
-                F.avg(
-                    F.log(
-                        F.col("total").cast("double")
-                        / F.col("c").cast("double")
-                    )
-                ),
+                F.sum(F.col("tf").cast("double") * ln) / F.sum(F.col("tf").cast("double")),
                 6,
             ).alias("surprisal_nats"),
         )
@@ -1617,16 +1649,27 @@ def docs_tfidf_topk(spark, sf_dir):
     (doc_id, term) — per-doc terms co-reside in the scan task — one
     exchange; df reuses the same shuffled layout (term already a key);
     N attaches like the surprisal total: a single-partition window over
-    the BOUNDED df table, broadcast back. The per-doc top-3 window
-    partitions on doc_id, which the tf aggregate already hashed on."""
-    words = _words(spark, sf_dir)
+    the BOUNDED df table, broadcast back.
+
+    Round 7: the document table is hash-partitioned on doc_id up
+    front, so BOTH per-doc stages — the (doc_id, term) tf aggregate
+    (partitioning on a subset of the grouping keys satisfies its
+    clustered distribution) and the per-doc top-3 ranking window —
+    reuse that one exchange of ~50 kB/core of raw docs instead of each
+    shuffling the multi-million-row term table (guide §2.4). N also no
+    longer explodes words a third time: docs with ≥1 word is the same
+    count, computed from the doc rows directly."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs_by_id = docs.repartition(par, "doc_id")
+    words = _words_of(docs_by_id)
     tf = words.groupBy("doc_id", F.col("w").alias("term")).agg(
         F.count("*").cast("long").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n_docs = words.select("doc_id").distinct().select(
-        F.count("*").cast("double").alias("n")
-    )
+    n_docs = docs.where(
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")) > 0
+    ).select(F.count("*").cast("double").alias("n"))
     dfn = df_.join(F.broadcast(n_docs))
     scored = tf.join(F.broadcast(dfn), "term").withColumn(
         "tfidf",
@@ -2493,22 +2536,33 @@ def embeddings_neardup_topk(spark, sf_dir):
     from sparkcrawler.operators.ann import with_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
-    # the bucketed table is referenced by BOTH self-join sides:
-    # materialize it once per invocation (the round-6 plan re-ran the
-    # posexplode+8-dot bucketing pass per side), and broadcast the
-    # build side so the probe side never shuffles (guide §3.1; at
-    # 10^10 vectors the materialized index is bucket-partitioned and
-    # this becomes the bucket-local sort-merge instead)
+    # Round 7: the bucketed table is materialized ONCE per invocation
+    # (the round-6 plan re-ran the posexplode+8-dot bucketing pass per
+    # self-join side), with the per-VECTOR norm folded in the same
+    # pass — the round-6 plan folded both norms per PAIR, 3× the
+    # arithmetic for the same doubles (the expression tree per pair is
+    # unchanged: dot/(nrm_a*nrm_b)). The build side is broadcast so
+    # the probe side never shuffles (guide §3.1); at 10^10 vectors the
+    # bucket-partitioned ann index IS this table and the join becomes
+    # the bucket-local sort-merge over it instead. (Reading the 2^8
+    # partition dirs of the on-disk index was measured SLOWER here
+    # than recomputing the buckets — per-file scan-task overhead
+    # dominates at this corpus size.)
+    nrm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
+    )
     b = _snapshot(
-        with_bucket(emb).select("vec_id", "bucket", _dbl("embedding").alias("e"))
+        with_bucket(emb)
+        .select("vec_id", "bucket", _dbl("embedding").alias("e"))
+        .withColumn("nrm", nrm)
     )
     lhs = b.select(
-        F.col("vec_id").alias("id_a"), "bucket", F.col("e").alias("ea")
+        F.col("vec_id").alias("id_a"), "bucket",
+        F.col("e").alias("ea"), F.col("nrm").alias("nrm_a"),
     )
     rhs = b.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("bucket").alias("_bk"),
-        F.col("e").alias("eb"),
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("_bk"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nrm_b"),
     )
     pairs = lhs.join(
         F.broadcast(rhs),
@@ -2517,11 +2571,8 @@ def embeddings_neardup_topk(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
-    )
     return (
-        pairs.withColumn("cos", F.round(dot / (norm("ea") * norm("eb")), 4))
+        pairs.withColumn("cos", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 4))
         .select("id_a", "id_b", "bucket", "cos")
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(20)
@@ -3648,9 +3699,17 @@ def docs_quality_classifier(spark, sf_dir):
     length, non-alpha penalty) — the fastText/CCNet-style "quality
     classifier" stage of a web-text pipeline, with the trained weights
     pinned as constants so the op is deterministic and cross-engine
-    exact. Every feature is built from JVM HOFs in one codegen'd
+    exact. Every feature is built from JVM builtins in one codegen'd
     Project (no UDF, no shuffle before the output sort); the sigmoid
-    is plain IEEE double math both engines round to 6dp."""
+    is plain IEEE double math both engines round to 6dp.
+
+    Round 7 (guide §1.2 per-task work): the two costliest features now
+    come from character arithmetic instead of a per-char regex and a
+    per-word interpreted fold — ``sum_wlen`` = total chars minus the
+    single-space separators (every non-space char belongs to exactly
+    one word, empty words contribute 0 either way), and ``n_alpha`` =
+    total chars minus the chars left after ``translate`` deletes
+    [a-z] (codepoint-exact, same contract as the regex)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     words = F.filter(F.split("text", " "), lambda w: w != "")
     stop = F.filter(
@@ -3658,10 +3717,12 @@ def docs_quality_classifier(spark, sf_dir):
     )
     n_tokens = F.size(words).cast("long")
     n_stop = F.size(stop).cast("long")
-    sum_wlen = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    sum_wlen = (
+        F.length("text") - F.size(F.split("text", " ")) + F.lit(1)
+    ).cast("long")
+    n_alpha = F.length("text") - F.length(
+        F.translate("text", "abcdefghijklmnopqrstuvwxyz", "")
     )
-    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
     feats = docs.select(
         "doc_id", "lang",
         n_tokens.alias("n_tokens"),
@@ -4431,14 +4492,18 @@ CATALOG: dict[str, QuerySpec] = {
 # through external verification across rounds.  In-repo tests always cover
 # the full catalog regardless of this ordering.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never externally checked before round 6
-    "ann_ivf_topk", "crawl_pagerank", "crawl_line_dedup", "crawl_host_rates",
-    # last checked in round 4
-    "docs_lang_quality", "docs_fingerprint", "ann_cosine_topk",
-    "ann_lsh_topk", "embeddings_centroids", "embeddings_label_norms",
-    "robots_parse_dim", "media_metadata", "crawl_visits_by_depth",
-    "crawl_lineage_by_round", "crawl_pages_text", "crawl_corpus_kept",
-    "pages_outdegree_hist",
+    # round-7 refresh: the 17 entries whose newest external row is from
+    # round 5 (rotated out of round 6's 50-entry cap) go first, so
+    # every catalog entry's latest driver-oracle row stays <= 2 rounds
+    # old. Several of them were restructured this round
+    # (docs_simhash_neardup, corpus_bpe_merges-adjacent paths), which
+    # makes their fresh external verification doubly valuable.
+    "docs_winnow_fp_arrow", "docs_simhash_arrow", "docs_pii_scrub",
+    "docs_nfc_norm", "docs_sample_hash", "docs_pack_sequences",
+    "docs_quality_classifier", "corpus_vocab_coverage",
+    "corpus_mix_weights", "docs_dedup_incremental", "docs_snapshot_diff",
+    "docs_simhash_neardup", "events_funnel", "events_retention",
+    "docs_length_quantiles", "corpus_bigram_lm", "corpus_bpe_merges",
 )
 
 

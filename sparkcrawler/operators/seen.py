@@ -340,7 +340,8 @@ class ExactSeenShards:
     Candidates shuffle ONCE on the shard key (the same exchange the old
     dropDuplicates already paid), then each task sees its shard's
     candidates next to that shard's packed state and answers
-    membership exactly with one ``np.isin``. Per-round shuffle volume
+    membership exactly with one ``np.searchsorted`` over the
+    already-sorted packed buffer (O(C log S)). Per-round shuffle volume
     is O(discovered links this round) — at 1000 executors nothing
     scales with total-seen except the resident state itself, which is
     exactly the sharded-membership structure the north rule names (the
@@ -355,9 +356,22 @@ class ExactSeenShards:
 
     _STATE_SCHEMA = "shard int, n long, hashes binary"
 
-    def __init__(self, spark: SparkSession, num_shards: int = 64):
+    # hashes per shard before the state doubles its shard count: 1.2 GB
+    # of packed int64 per shard, comfortably under the 2 GiB Arrow
+    # binary-cell limit (~268M hashes) that a shard buffer must never
+    # reach. 64 shards * 150M ≈ 10^10 URLs → one or two in-place
+    # doublings on the way to the design point.
+    DEFAULT_RESCALE_AT = 150_000_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        num_shards: int = 64,
+        rescale_at: int = DEFAULT_RESCALE_AT,
+    ):
         self.spark = spark
         self.num_shards = num_shards
+        self.rescale_at = rescale_at
         self.shards_df: DataFrame | None = None
         self.n_added = 0
         self._retired: DataFrame | None = None  # lazy-fold predecessor
@@ -393,8 +407,15 @@ class ExactSeenShards:
         n_rows: int | None = None,
         eager: bool = True,
     ) -> None:
-        """Fold a delta of ``url_hash`` rows into the packed state.
-        Only packed shard rows shuffle.
+        """Fold a delta of ``url_hash`` rows into the packed state —
+        INCREMENTALLY: shards the delta does not touch never shuffle,
+        never cross the Python boundary, and never re-pack. The state
+        side splits on a broadcast anti-/semi-join against the delta's
+        shard ids (at most ``num_shards`` ids), so per-fold work is
+        O(delta + touched-shard state), not O(total-seen); the round-6
+        shape unioned the FULL state with every delta and re-packed
+        all shards through one groupBy (80 GB shuffled per fold at the
+        10^10 design point — round-6 verdict #3).
 
         ``eager=True`` materializes the new state with a count before
         dropping the old (the :meth:`DistributedBloom.update_from_df`
@@ -402,7 +423,14 @@ class ExactSeenShards:
         the new state materializes as a side effect of the NEXT action
         that consults it (the crawl's next frontier write), and the
         predecessor stays cached until :meth:`reap` — one fewer
-        serial job barrier per fold in the crawl loop."""
+        serial job barrier per fold in the crawl loop; ``n_rows`` is
+        required then (the fold must not spend a count job)."""
+        if not eager and n_rows is None:
+            raise ValueError(
+                "update_from_df(eager=False) requires n_rows: a lazy "
+                "fold must not spend a count() job, and n_added drives "
+                "the shard-rescale bound"
+            )
 
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             bufs = [np.frombuffer(b, dtype=np.int64) for b in pdf["hashes"]]
@@ -421,13 +449,20 @@ class ExactSeenShards:
             self.shards_df.count()
             self.reap()
         delta = self._packed_delta(df)
-        new = (
-            delta
-            if self.shards_df is None
-            else self.shards_df.unionByName(delta)
-            .groupBy("shard")
-            .applyInPandas(merge, schema=self._STATE_SCHEMA)
-        )
+        if self.shards_df is None:
+            new = delta
+        else:
+            touched = delta.select("shard")
+            untouched = self.shards_df.join(
+                F.broadcast(touched), "shard", "left_anti"
+            )
+            merged = (
+                self.shards_df.join(F.broadcast(touched), "shard", "leftsemi")
+                .unionByName(delta)
+                .groupBy("shard")
+                .applyInPandas(merge, schema=self._STATE_SCHEMA)
+            )
+            new = untouched.unionByName(merged)
         new = new.persist()
         if eager:
             new.count()  # materialize before dropping the previous state
@@ -438,18 +473,62 @@ class ExactSeenShards:
         self.shards_df = new
         if n_rows is not None:
             self.n_added += int(n_rows)
-        elif eager:
-            self.n_added += df.count()
         else:
-            self.n_added += 1  # unknown lazily — only "nonzero" matters
+            self.n_added += df.count()
+        if eager:
+            self._maybe_rescale()
 
     def reap(self) -> None:
         """Release a lazily-retired predecessor state — call after an
         action that materialized the successor (e.g. the frontier
-        write following a lazy fold)."""
+        write following a lazy fold). Also the lazy-fold path's
+        rescale point: the successor is materialized by now, so a
+        shard split is safe."""
         if self._retired is not None:
             self._retired.unpersist()
             self._retired = None
+            self._maybe_rescale()
+
+    def _maybe_rescale(self) -> None:
+        """Double the shard count in place once the mean shard would
+        exceed ``rescale_at`` packed hashes (n_added is a conservative
+        pre-dedup proxy, so the split runs a little early, never
+        late). A doubling is shard-LOCAL — hash h with
+        ``pmod(h, P) = s`` has ``pmod(h, 2P) ∈ {s, s+P}``, so every
+        state row splits into two rows with NO shuffle (one
+        mapInPandas over the packed buffers, order preserved by the
+        mask). Keeps every shard's buffer under the 2 GiB Arrow
+        binary-cell limit on the way to 10^10 URLs (round-6 verdict
+        #4)."""
+        if self.shards_df is None or self._retired is not None:
+            return
+        if self.n_added <= self.rescale_at * self.num_shards:
+            return
+        P, P2 = self.num_shards, self.num_shards * 2
+
+        def split(batches):
+            for pdf in batches:
+                out: dict = {"shard": [], "n": [], "hashes": []}
+                for shard, buf in zip(pdf["shard"], pdf["hashes"]):
+                    hsv = np.frombuffer(buf, dtype=np.int64)
+                    hi = (hsv % P2) != shard  # numpy % matches SQL pmod
+                    for s2, arr in (
+                        (int(shard), hsv[~hi]),
+                        (int(shard) + P, hsv[hi]),
+                    ):
+                        if arr.size:
+                            out["shard"].append(s2)
+                            out["n"].append(arr.size)
+                            out["hashes"].append(arr.tobytes())
+                yield pd.DataFrame(out)
+
+        new = self.shards_df.mapInPandas(
+            split, schema=self._STATE_SCHEMA
+        ).persist()
+        new.count()
+        self.shards_df.unpersist()
+        self.shards_df = new
+        self.num_shards = P2
 
     # ------------------------------------------------------------- query --
 
@@ -494,13 +573,33 @@ class ExactSeenShards:
             if right.empty:
                 return left
             packed = right["hashes"].notna()
-            bufs = [b"".join(right.loc[packed, "hashes"].tolist())]
-            raw_hs = right.loc[~packed, "n"].to_numpy(dtype=np.int64)
-            seen = np.concatenate(
-                [np.frombuffer(bufs[0], dtype=np.int64), raw_hs]
-            )
             hs = left["url_hash"].to_numpy(dtype=np.int64)
-            return left[~np.isin(hs, seen)]
+            seen_mask = np.zeros(len(hs), dtype=bool)
+            pbufs = right.loc[packed, "hashes"].tolist()
+            if pbufs:
+                # the packed buffer is np.unique output — already
+                # sorted — so membership is O(C log S) searchsorted
+                # over the candidates, not a re-sort of the full shard
+                # every round (np.isin sorted the S-sized state each
+                # call — round-6 verdict #4)
+                buf = (
+                    np.frombuffer(pbufs[0], dtype=np.int64)
+                    if len(pbufs) == 1
+                    else np.unique(
+                        np.concatenate(
+                            [np.frombuffer(b, dtype=np.int64) for b in pbufs]
+                        )
+                    )
+                )
+                if buf.size:
+                    idx = np.searchsorted(buf, hs)
+                    inb = np.minimum(idx, buf.size - 1)
+                    seen_mask |= buf[inb] == hs
+            raw_hs = right.loc[~packed, "n"].to_numpy(dtype=np.int64)
+            if raw_hs.size:
+                # raw rows = the small recent not-yet-folded delta
+                seen_mask |= np.isin(hs, raw_hs)
+            return left[~seen_mask]
 
         return (
             candidates.selectExpr(

@@ -222,3 +222,60 @@ def test_exact_shards_incremental_update_merges(spark):
     got = sorted(r["url"] for r in ex.filter_new(cands).collect())
     assert got == sorted(f"https://h.example/z/{i}" for i in range(10))
     ex.release()
+
+
+def test_exact_shards_fold_skips_untouched_shards(spark):
+    """The incremental fold must route ONLY delta-touched shards
+    through the re-pack: the state plan splits on a broadcast
+    anti/semi join, and a fold whose delta misses a shard leaves that
+    shard's packed row byte-identical (same object path, no re-pack
+    churn)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    ex = ExactSeenShards(spark, num_shards=4)
+    ex.update_from_df(_df(spark, [f"https://h.example/x/{i}" for i in range(80)]))
+    before = {
+        r["shard"]: bytes(r["hashes"]) for r in ex.shards_df.collect()
+    }
+    # delta confined to one shard
+    one = _df(spark, [f"https://h.example/x/{i}" for i in range(80, 200)])
+    target = one.selectExpr("CAST(pmod(url_hash, 4) AS INT) AS s")
+    shards_hit = {r["s"] for r in target.distinct().collect()}
+    delta = one.where(F.expr("pmod(url_hash, 4)") == min(shards_hit))
+    ex.update_from_df(delta)
+    plan = ex.shards_df._sc._jvm.PythonSQLUtils.explainString(
+        ex.shards_df._jdf.queryExecution(), "simple")
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:2000]
+    after = {r["shard"]: bytes(r["hashes"]) for r in ex.shards_df.collect()}
+    for s, buf in before.items():
+        if s != min(shards_hit):
+            assert after[s] == buf  # untouched shard byte-identical
+    assert len(after[min(shards_hit)]) > len(before.get(min(shards_hit), b""))
+    ex.release()
+
+
+def test_exact_shards_lazy_fold_requires_n_rows(spark):
+    import pytest as _pytest
+
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    ex = ExactSeenShards(spark, num_shards=2)
+    with _pytest.raises(ValueError, match="n_rows"):
+        ex.update_from_df(_df(spark, ["https://h.example/a"]), eager=False)
+
+
+def test_exact_shards_rescale_doubles_shards_and_stays_exact(spark):
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    seen_urls = [f"https://h.example/p/{i}" for i in range(200)]
+    ex = ExactSeenShards(spark, num_shards=4, rescale_at=20)
+    ex.update_from_df(_df(spark, seen_urls[:100]))
+    ex.update_from_df(_df(spark, seen_urls[100:]))
+    assert ex.num_shards > 4  # 200 added > 20/shard * 4 shards
+    assert sum(r["n"] for r in ex.shards_df.collect()) == 200
+    cands = _cand_df(spark, seen_urls + ["https://h.example/new/1"])
+    got = [r["url"] for r in ex.filter_new(cands).collect()]
+    assert got == ["https://h.example/new/1"]
+    ex.release()
