@@ -66,10 +66,19 @@ def run_bench(cpus: int, pages: int, fanout: int, paras: int) -> dict:
     )
     # stdout carries the slim copy (round_stats compressed to walls for
     # the driver's tail capture) — take the full per-round dicts from
-    # the side file bench.py writes for exactly this purpose
+    # the side file bench.py writes for exactly this purpose. bench.py
+    # swallows OSError on that write, so validate the side file is
+    # really THIS run (same cpus + same crawl wall) before adopting it;
+    # a stale file from an earlier config would otherwise be silently
+    # attributed to this run (advisor note r6).
     try:
         with open(os.path.join(HERE, "last_run.json")) as f:
-            res = json.load(f)
+            side = json.load(f)
+        if (
+            side.get("cpus") == res.get("cpus")
+            and side.get("crawl_sec") == res.get("crawl_sec")
+        ):
+            res = side
     except (OSError, ValueError):
         pass
     rounds: dict[int, dict[str, float]] = {}

@@ -102,11 +102,13 @@ _WIDEN_TABLES = frozenset({"documents", "embeddings"})
 _WIDEN_CACHE: dict[tuple[str, str, int], bool] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = True
+) -> DataFrame:
     ddl = _TESTDATA_DDL.get(name)
     reader = spark.read.schema(ddl) if ddl else spark.read
     df = reader.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _WIDEN_TABLES:
+    if wide and name in _WIDEN_TABLES:
         par = spark.sparkContext.defaultParallelism
         key = (sf_dir, name, par)
         widen = _WIDEN_CACHE.get(key)
@@ -463,7 +465,7 @@ def _words(spark, sf_dir):
 
 def docs_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy keeping the min doc_id (J1 analog)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", wide=False)
     return (
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(
@@ -3336,7 +3338,7 @@ def crawl_pagerank(spark, sf_dir):
     outdeg-annotated edge list on ``src`` (both sides hash-partitioned
     on the join key), partial-aggregated ``sum(pr/outdeg)`` by ``dst``,
     then a left join back to the node set for the teleport term. The
-    edge list is computed once and persisted; at 100 TB you would
+    edge list is computed once and snapshotted; at 100 TB you would
     bucket edges and nodes by url so every iteration's joins are
     co-partitioned zero-exchange, and ``localCheckpoint`` every few
     iterations to truncate the growing lineage. All arithmetic is
@@ -3346,13 +3348,17 @@ def crawl_pagerank(spark, sf_dir):
     from sparkcrawler.plans.crawl import read_crawl_log
 
     log = read_crawl_log(spark, _demo_crawl_dir(spark)).select("url", "links")
-    nodes = log.select("url").persist()
+    # snapshot (not persist) the two tables every iteration references:
+    # zero pinned executor blocks after the query returns, no terminal
+    # count()+unpersist dance — the round-6 shape paid an extra full
+    # run of the iteration chain just to be able to release its caches
+    nodes = _snapshot(log.select("url"))
     edges = (
         log.select(F.col("url").alias("src"), F.explode("links").alias("dst"))
         .join(nodes.select(F.col("url").alias("dst")), "dst", "leftsemi")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = edges.join(deg, "src").persist()  # src, dst, outdeg
+    ew = _snapshot(edges.join(deg, "src"))  # src, dst, outdeg
 
     n = nodes.count()
     tele = (1.0 - PAGERANK_DAMPING) / n
@@ -3372,18 +3378,9 @@ def crawl_pagerank(spark, sf_dir):
                 + F.lit(PAGERANK_DAMPING) * F.coalesce("m", F.lit(0.0))
             ).alias("pr"),
         )
-    result = ranks.select(
+    return ranks.select(
         "url", F.round("pr", 6).alias("pagerank")
     ).orderBy("url")
-    # terminal action while nodes/ew are cached: every iteration's
-    # shuffle map output now exists as shuffle files, so the caller's
-    # later action on this same DataFrame reruns only the result stage
-    # (skipped stages), and the caches can be released immediately —
-    # nothing stays pinned in executor storage after the query returns
-    result.count()
-    nodes.unpersist()
-    ew.unpersist()
-    return result
 
 
 def _pagerank_sql() -> str:
@@ -3608,7 +3605,8 @@ def docs_sample_hash(spark, sf_dir):
     the decision is reproducible across engines, runs, AND cluster
     sizes — no RNG, no per-partition state, embarrassingly parallel at
     100 TB (a pure filter: pushes below any downstream shuffle)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _t(spark, sf_dir, "documents", wide=False).select(
+        "doc_id", "lang", "text")
     bucket = (
         F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 7), 16, 10)
         .cast("long") % 100
@@ -3643,7 +3641,8 @@ def docs_pack_sequences(spark, sf_dir):
     window never sees more than one shard's rows and no global sort or
     single-partition window exists. One shuffle (the window partition),
     then pure arithmetic."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _t(spark, sf_dir, "documents", wide=False).select(
+        "doc_id", "source", "text")
     n_tokens = F.size(
         F.filter(F.split("text", " "), lambda w: w != "")
     ).cast("long")
@@ -3844,7 +3843,7 @@ def corpus_mix_weights(spark, sf_dir):
     One map-side-partial groupBy over the corpus; the share/weight
     arithmetic runs on the bounded source dim (20 rows) via a
     full-frame window, never touching the token stream again."""
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    docs = _t(spark, sf_dir, "documents", wide=False).select("source", "text")
     n_tokens = F.size(
         F.filter(F.split("text", " "), lambda w: w != "")
     ).cast("long")
@@ -3896,7 +3895,12 @@ def docs_dedup_incremental(spark, sf_dir):
     and within-batch duplicates (doc_id%20==1) so both suppression
     paths do real work. One shuffle each side on the content hash;
     the anti-join is hash-partitioned on the same key."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # (a hash-once _snapshot variant was measured here and rejected:
+    # at bench scale the snapshot write+read costs more than the three
+    # extra 6 MB scans it saves; at 100 TB the incremental contract
+    # already guarantees only the BATCH is scanned, so the multi-scan
+    # shape never touches the corpus anyway)
+    docs = _t(spark, sf_dir, "documents", wide=False).select("doc_id", "text")
     corpus = (
         docs.where(F.col("doc_id") % 2 == 0)
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
@@ -3963,7 +3967,7 @@ def docs_snapshot_diff(spark, sf_dir):
     Each side collapses to (hash, min doc_id) with map-side partial
     aggs; the full-outer join runs hash-partitioned on the same key,
     so text crosses the wire exactly once per side."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", wide=False).select("doc_id", "text")
 
     def side(pred):
         return (
@@ -4267,7 +4271,7 @@ def docs_length_quantiles(spark, sf_dir):
     100 TB swap in ``percentile_approx`` (t-digest, mergeable, one
     pass) — the query shape is unchanged, which is why the exact form
     is the oracle contract here."""
-    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = _t(spark, sf_dir, "documents", wide=False).select("lang", "n_chars")
     pc = lambda p: F.round(
         F.expr(f"percentile(CAST(n_chars AS DOUBLE), {p})"), 4
     )
