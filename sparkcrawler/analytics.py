@@ -1516,12 +1516,14 @@ def docs_dup_spans(spark, sf_dir):
     copied.
 
     Scale shape: gram construction is the same JVM HOF pipeline as the
-    decontamination op (no UDFs); ONE shuffle keyed on the gram builds
-    the ≥2-occurrence set with map-side partial counts (the join-back
-    side is the aggregated (gram, count) table, never raw positions);
-    the interval merge windows over HIT positions only — a tiny
-    fraction of the corpus — partitioned by doc_id. All arithmetic is
-    int64-exact, so the oracle matches bit-for-bit."""
+    decontamination op (no UDFs), computed ONCE; a single shuffle
+    keyed on the gram serves both the ≥2-occurrence test and the
+    join-back (a count window over the gram partition — round 6 paid
+    an aggregate plus a sort-merge self-join, i.e. the gram pipeline
+    and its shuffle twice); the interval merge windows over HIT
+    positions only — a tiny fraction of the corpus — partitioned by
+    doc_id. All arithmetic is int64-exact, so the oracle matches
+    bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     words_col = F.filter(F.split("text", " "), lambda w: w != "")
     grams = (

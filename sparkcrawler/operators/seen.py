@@ -363,6 +363,12 @@ class ExactSeenShards:
     # doublings on the way to the design point.
     DEFAULT_RESCALE_AT = 150_000_000
 
+    # persisted folds chained before one localCheckpoint collapses the
+    # logical plan (each fold references its predecessor twice, so the
+    # un-truncated plan doubles per fold; 2^4 copies of a flat base is
+    # harmless, 2^12 is not)
+    MAX_CHAINED_FOLDS = 4
+
     def __init__(
         self,
         spark: SparkSession,
@@ -375,6 +381,7 @@ class ExactSeenShards:
         self.shards_df: DataFrame | None = None
         self.n_added = 0
         self._retired: DataFrame | None = None  # lazy-fold predecessor
+        self._chained = 0  # persisted folds since the last plan truncation
 
     # ------------------------------------------------------------- build --
 
@@ -450,7 +457,7 @@ class ExactSeenShards:
             self.reap()
         delta = self._packed_delta(df)
         if self.shards_df is None:
-            new = delta
+            new_plan = delta
         else:
             touched = delta.select("shard")
             untouched = self.shards_df.join(
@@ -462,13 +469,32 @@ class ExactSeenShards:
                 .groupBy("shard")
                 .applyInPandas(merge, schema=self._STATE_SCHEMA)
             )
-            new = untouched.unionByName(merged)
-        new = new.persist()
-        if eager:
-            new.count()  # materialize before dropping the previous state
-            if self.shards_df is not None:
-                self.shards_df.unpersist()
+            new_plan = untouched.unionByName(merged)
+        # The fold references the previous state on TWO branches
+        # (anti + semi), so naively chained plans DOUBLE in size per
+        # fold — 12 unbounded folds blew task binaries past 1 MB and
+        # overflowed generateTreeString in the crawl tests. Persist
+        # alone does not truncate the logical plan, and truncating
+        # with localCheckpoint on EVERY fold measured ~8% slower crawls
+        # (an extra materialization pass per fold). So: persist-chain
+        # for up to MAX_CHAINED_FOLDS folds, then one localCheckpoint
+        # collapses the plan to a constant-size LogicalRDD — plans stay
+        # under 2^K copies of a flat base, the common batched-fold
+        # crawl never checkpoints at all, and blocks are released
+        # EXPLICITLY either way (_release_state), never left to the
+        # ContextCleaner/GC race.
+        self._last_fold_plan = new_plan  # pre-truncation plan (tests)
+        if self._chained >= self.MAX_CHAINED_FOLDS:
+            new = new_plan.localCheckpoint(eager=eager)
+            self._chained = 0
         else:
+            new = new_plan.persist()
+            if eager:
+                new.count()  # materialize before dropping the old state
+            self._chained += 1
+        if eager and self.shards_df is not None:
+            self._release_state(self.shards_df)
+        elif not eager:
             self._retired = self.shards_df
         self.shards_df = new
         if n_rows is not None:
@@ -478,6 +504,18 @@ class ExactSeenShards:
         if eager:
             self._maybe_rescale()
 
+    @staticmethod
+    def _release_state(df: DataFrame | None) -> None:
+        """Drop a retired state's pinned blocks NOW: a localCheckpoint's
+        RDD is only collected when the ContextCleaner races Python GC,
+        so release it explicitly through the LogicalRDD handle."""
+        if df is None:
+            return
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            df.unpersist()
+
     def reap(self) -> None:
         """Release a lazily-retired predecessor state — call after an
         action that materialized the successor (e.g. the frontier
@@ -485,7 +523,7 @@ class ExactSeenShards:
         rescale point: the successor is materialized by now, so a
         shard split is safe."""
         if self._retired is not None:
-            self._retired.unpersist()
+            self._release_state(self._retired)
             self._retired = None
             self._maybe_rescale()
 
@@ -524,11 +562,11 @@ class ExactSeenShards:
 
         new = self.shards_df.mapInPandas(
             split, schema=self._STATE_SCHEMA
-        ).persist()
-        new.count()
-        self.shards_df.unpersist()
+        ).localCheckpoint(eager=True)
+        self._release_state(self.shards_df)
         self.shards_df = new
         self.num_shards = P2
+        self._chained = 0  # the split state is a fresh flat LogicalRDD
 
     # ------------------------------------------------------------- query --
 
@@ -614,5 +652,5 @@ class ExactSeenShards:
     def release(self) -> None:
         self.reap()
         if self.shards_df is not None:
-            self.shards_df.unpersist()
+            self._release_state(self.shards_df)
             self.shards_df = None

