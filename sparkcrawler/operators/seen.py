@@ -363,10 +363,11 @@ class ExactSeenShards:
     # doublings on the way to the design point.
     DEFAULT_RESCALE_AT = 150_000_000
 
-    # persisted folds chained before one localCheckpoint collapses the
-    # logical plan (each fold references its predecessor twice, so the
-    # un-truncated plan doubles per fold; 2^4 copies of a flat base is
-    # harmless, 2^12 is not)
+    # persisted folds chained before a generation snapshot (temp
+    # parquet write+read) collapses the logical plan (each fold
+    # references its predecessor twice, so the un-truncated plan
+    # doubles per fold; 2^4 copies of a flat base is harmless, 2^12
+    # is not)
     MAX_CHAINED_FOLDS = 4
 
     def __init__(
@@ -382,6 +383,7 @@ class ExactSeenShards:
         self.n_added = 0
         self._retired: DataFrame | None = None  # lazy-fold predecessor
         self._chained = 0  # persisted folds since the last plan truncation
+        self._gen_dir: str | None = None  # current generation-snapshot dir
 
     # ------------------------------------------------------------- build --
 
@@ -474,29 +476,37 @@ class ExactSeenShards:
         # (anti + semi), so naively chained plans DOUBLE in size per
         # fold — 12 unbounded folds blew task binaries past 1 MB and
         # overflowed generateTreeString in the crawl tests. Persist
-        # alone does not truncate the logical plan, and truncating
-        # with localCheckpoint on EVERY fold measured ~8% slower crawls
-        # (an extra materialization pass per fold). So: persist-chain
-        # for up to MAX_CHAINED_FOLDS folds, then one localCheckpoint
-        # collapses the plan to a constant-size LogicalRDD — plans stay
-        # under 2^K copies of a flat base, the common batched-fold
-        # crawl never checkpoints at all, and blocks are released
-        # EXPLICITLY either way (_release_state), never left to the
-        # ContextCleaner/GC race.
+        # alone does not truncate the logical plan; localCheckpoint
+        # truncates it but its blocks can NEVER be safely released
+        # while any descendant might recompute (the truncated lineage
+        # is unrecoverable — releasing one produced
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND crashes in descendants).
+        # So: persist-chain for up to MAX_CHAINED_FOLDS folds, then
+        # one GENERATION SNAPSHOT — the new state is written to a temp
+        # parquet dir and read back. Plans stay under 2^K copies of a
+        # flat base, every unpersisted predecessor remains recomputable
+        # (its lineage bottoms out in parquet), the previous
+        # generation's dir is deleted as soon as the new one is fully
+        # written, and the common batched-fold crawl (2-3 folds total)
+        # never snapshots at all.
         self._last_fold_plan = new_plan  # pre-truncation plan (tests)
         if self._chained >= self.MAX_CHAINED_FOLDS:
-            new = new_plan.localCheckpoint(eager=eager)
-            self._chained = 0
+            new = self._snapshot_state(new_plan)
+            # the write above materialized the new generation — every
+            # predecessor (incl. a lazily-retired one) can go now
+            if self.shards_df is not None:
+                self.shards_df.unpersist()
+            self.shards_df = new
         else:
             new = new_plan.persist()
             if eager:
                 new.count()  # materialize before dropping the old state
+                if self.shards_df is not None:
+                    self.shards_df.unpersist()
+            else:
+                self._retired = self.shards_df
             self._chained += 1
-        if eager and self.shards_df is not None:
-            self._release_state(self.shards_df)
-        elif not eager:
-            self._retired = self.shards_df
-        self.shards_df = new
+            self.shards_df = new
         if n_rows is not None:
             self.n_added += int(n_rows)
         else:
@@ -504,17 +514,22 @@ class ExactSeenShards:
         if eager:
             self._maybe_rescale()
 
-    @staticmethod
-    def _release_state(df: DataFrame | None) -> None:
-        """Drop a retired state's pinned blocks NOW: a localCheckpoint's
-        RDD is only collected when the ContextCleaner races Python GC,
-        so release it explicitly through the LogicalRDD handle."""
-        if df is None:
-            return
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            df.unpersist()
+    def _snapshot_state(self, plan: DataFrame) -> DataFrame:
+        """Write ``plan`` to a fresh temp parquet generation dir and
+        read it back: truncates the logical plan like a checkpoint but
+        with files any later recomputation can always re-read; the
+        superseded generation's dir is deleted immediately (the new
+        state reads only its own files)."""
+        import shutil
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sc_seen_gen_")
+        plan.write.mode("overwrite").parquet(out)
+        prev, self._gen_dir = self._gen_dir, out
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        self._chained = 0
+        return self.spark.read.schema(self._STATE_SCHEMA).parquet(out)
 
     def reap(self) -> None:
         """Release a lazily-retired predecessor state — call after an
@@ -523,7 +538,7 @@ class ExactSeenShards:
         rescale point: the successor is materialized by now, so a
         shard split is safe."""
         if self._retired is not None:
-            self._release_state(self._retired)
+            self._retired.unpersist()
             self._retired = None
             self._maybe_rescale()
 
@@ -560,13 +575,12 @@ class ExactSeenShards:
                             out["hashes"].append(arr.tobytes())
                 yield pd.DataFrame(out)
 
-        new = self.shards_df.mapInPandas(
-            split, schema=self._STATE_SCHEMA
-        ).localCheckpoint(eager=True)
-        self._release_state(self.shards_df)
+        new = self._snapshot_state(
+            self.shards_df.mapInPandas(split, schema=self._STATE_SCHEMA)
+        )
+        self.shards_df.unpersist()
         self.shards_df = new
         self.num_shards = P2
-        self._chained = 0  # the split state is a fresh flat LogicalRDD
 
     # ------------------------------------------------------------- query --
 
@@ -650,7 +664,12 @@ class ExactSeenShards:
         )
 
     def release(self) -> None:
+        import shutil
+
         self.reap()
         if self.shards_df is not None:
-            self._release_state(self.shards_df)
+            self.shards_df.unpersist()
             self.shards_df = None
+        if self._gen_dir is not None:
+            shutil.rmtree(self._gen_dir, ignore_errors=True)
+            self._gen_dir = None
