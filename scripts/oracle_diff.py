@@ -27,7 +27,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{round(v, 6):.6f}"
+        r = round(v, 6)
+        if r == 0.0:
+            r = 0.0  # fold -0.0 into +0.0: equal values, different repr
+        return f"{r:.6f}"
     if isinstance(v, bool):
         return str(v)
     return str(v)

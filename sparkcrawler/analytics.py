@@ -1444,32 +1444,33 @@ def docs_unigram_surprisal(spark, sf_dir):
     differs across engines only in summation order; round(·,6) absorbs
     it (both engines' ln is the same IEEE libm contract).
 
-    Round 7: everything runs over the (doc_id, word, count) table
-    instead of raw occurrence rows — the corpus is hash-partitioned on
-    doc_id once, the tf aggregate and the final per-doc aggregate both
-    reuse that exchange, the vocab is one more aggregate OF the tf
-    table (no second explode of the corpus), and the mean surprisal is
-    the count-weighted sum Σ tf·ln(total/c) / Σ tf — the same mean up
-    to double summation order, which round(·,6) already absorbed
-    cross-engine by contract."""
-    docs = _t(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    words = _words_of(docs.repartition(par, "doc_id"))
-    tf = words.groupBy("doc_id", "w").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    vocab = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("c"))
+    Round 7 (second pass): a (doc_id, word, count) restructure was
+    measured and REVERTED — its tf subtree feeds both the vocab
+    broadcast build side and the per-doc aggregate, so the
+    repartition+aggregate pipeline ran twice per query (broadcast build
+    sides recompute their subtree), which lost to this shape's two
+    cheap partial-agg shuffles at every SF (A/B at sf0.1: 0.75 vs
+    1.19s; at sf1.0: tie). The explode stays narrow (``wide=False``):
+    the per-row work is one split+log, so the widening exchange costs
+    more than the 2-task scan it fixes (same finding as
+    docs_sample_hash et al.)."""
+    words = _words_of(_t(spark, sf_dir, "documents", wide=False))
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     vocab_tot = vocab.withColumn(
         "total", F.sum("c").over(Window.partitionBy())
     )
-    ln = F.log(F.col("total").cast("double") / F.col("c").cast("double"))
     return (
-        tf.join(F.broadcast(vocab_tot), "w")
+        words.join(F.broadcast(vocab_tot), "w")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_words"),
             F.round(
-                F.sum(F.col("tf").cast("double") * ln) / F.sum(F.col("tf").cast("double")),
+                F.avg(
+                    F.log(
+                        F.col("total").cast("double")
+                        / F.col("c").cast("double")
+                    )
+                ),
                 6,
             ).alias("surprisal_nats"),
         )
@@ -2540,43 +2541,66 @@ def embeddings_neardup_topk(spark, sf_dir):
     from sparkcrawler.operators.ann import with_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
-    # Round 7: the bucketed table is materialized ONCE per invocation
-    # (the round-6 plan re-ran the posexplode+8-dot bucketing pass per
-    # self-join side), with the per-VECTOR norm folded in the same
-    # pass — the round-6 plan folded both norms per PAIR, 3× the
-    # arithmetic for the same doubles (the expression tree per pair is
-    # unchanged: dot/(nrm_a*nrm_b)). The build side is broadcast so
-    # the probe side never shuffles (guide §3.1); at 10^10 vectors the
-    # bucket-partitioned ann index IS this table and the join becomes
-    # the bucket-local sort-merge over it instead. (Reading the 2^8
-    # partition dirs of the on-disk index was measured SLOWER here
-    # than recomputing the buckets — per-file scan-task overhead
-    # dominates at this corpus size.)
+    # Round 7 (second pass): pair generation AND the dot products run
+    # bucket-local in ONE Arrow pass (applyInPandas over the bucket
+    # partition) — per-vector data crosses the Python boundary once,
+    # not once per PAIR. The earlier broadcast-join shape evaluated an
+    # interpreted 64-element zip_with/aggregate fold per candidate
+    # pair, which loses 2× once pairs dominate (8.9 vs 4.7s at 60k
+    # vectors / ~7M pairs; equal at sf0.1). Bit-identical by
+    # construction: the accumulator loops dimensions in the HOF
+    # left-fold order, so every mul/add is the same IEEE double op in
+    # the same sequence, and the division + round(4) stay JVM-side.
+    # Per-vector norms still fold Spark-side in the bucketing pass.
+    # At 10^10 vectors this IS the bucket-partitioned ann-index
+    # layout: one small shuffle on bucket, pairs never cross the wire.
+    import numpy as np
+    import pandas as pd
+
     nrm = F.sqrt(
         F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
     )
-    b = _snapshot(
+    b = (
         with_bucket(emb)
         .select("vec_id", "bucket", _dbl("embedding").alias("e"))
         .withColumn("nrm", nrm)
     )
-    lhs = b.select(
-        F.col("vec_id").alias("id_a"), "bucket",
-        F.col("e").alias("ea"), F.col("nrm").alias("nrm_a"),
-    )
-    rhs = b.select(
-        F.col("vec_id").alias("id_b"), F.col("bucket").alias("_bk"),
-        F.col("e").alias("eb"), F.col("nrm").alias("nrm_b"),
-    )
-    pairs = lhs.join(
-        F.broadcast(rhs),
-        (F.col("bucket") == F.col("_bk")) & (F.col("id_a") < F.col("id_b")),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="int32"),
+                 "dot": pd.Series([], dtype="float64"),
+                 "nrm_a": pd.Series([], dtype="float64"),
+                 "nrm_b": pd.Series([], dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        E = np.stack(pdf["e"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        nr = pdf["nrm"].to_numpy()
+        ia, ib = np.triu_indices(n, 1)
+        # dimension-major accumulation == the HOF fold's IEEE order
+        acc = np.zeros(len(ia))
+        for k in range(E.shape[1]):
+            acc = acc + E[ia, k] * E[ib, k]
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib],
+             "bucket": pdf["bucket"].iloc[0], "dot": acc,
+             "nrm_a": nr[ia], "nrm_b": nr[ib]}
+        )
+
+    pairs = b.groupBy("bucket").applyInPandas(
+        _bucket_pairs,
+        schema="id_a long, id_b long, bucket int, dot double, "
+               "nrm_a double, nrm_b double",
     )
     return (
-        pairs.withColumn("cos", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 4))
+        pairs.withColumn(
+            "cos", F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 4)
+        )
         .select("id_a", "id_b", "bucket", "cos")
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(20)
@@ -2598,8 +2622,12 @@ LIMIT 20
 
 
 def embeddings_centroids(spark, sf_dir):
-    """Per-label centroid: posexplode → groupBy(label, dim) avg."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Per-label centroid: posexplode → groupBy(label, dim) avg.
+    Narrow scan (``wide=False``): the aggregate partials map-side into
+    640 groups, so the widening exchange of the raw table costs more
+    than it saves at every measured SF (A/B: 0.34 vs 0.62s at sf0.1,
+    0.42 vs 0.72s at sf1.0)."""
+    emb = _t(spark, sf_dir, "embeddings", wide=False)
     return (
         emb.select("label", F.posexplode(_dbl("embedding")).alias("p", "val"))
         .select("label", (F.col("p") + 1).cast("long").alias("dim"), "val")
