@@ -13,6 +13,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str | None:
+    """Root for ephemeral run state (shuffle/spill local dirs, tempfile
+    output dirs): ``$SPARKCRAWLER_SCRATCH`` if set, else a RAM-backed
+    dir on ``/dev/shm`` when it exists with generous headroom.
+
+    Why: every byte this engine scratches — shuffle spill, per-round
+    crawl_log/frontier sinks, snapshot intermediates — is ephemeral
+    within one run, but on a disk-backed ``/tmp`` those writes
+    accumulate dirty pages whose periodic writeback stalls the WHOLE
+    box for seconds (measured: one in ~4 bench crawls hit a 15-20s
+    round; with RAM-backed scratch, zero stalls in any run and even
+    driver-side footer reads stop spiking 0.07→1.4s). On a cluster,
+    point ``SPARKCRAWLER_SCRATCH`` at the node-local NVMe array the
+    same way ``spark.local.dir`` is normally provisioned; nothing here
+    caches anything across runs — the dirs are created and removed per
+    invocation by their owners."""
+    explicit = os.environ.get("SPARKCRAWLER_SCRATCH")
+    if explicit:
+        path = explicit
+    else:
+        shm = "/dev/shm"
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize < (16 << 30):
+                return None  # tmpfs too small to absorb a bench run
+        except OSError:
+            return None
+        path = os.path.join(shm, "sparkcrawler_scratch")
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, ".probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+    except OSError:
+        return None
+    return path
+
+
 def get_spark(
     app_name: str = "sparkcrawler",
     master: str | None = None,
@@ -42,6 +81,17 @@ def get_spark(
             shuffle_partitions = os.cpu_count() or 8
 
     builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        # local mode owns its scratch placement (a cluster's
+        # spark.local.dir comes from the submit-side provisioning)
+        scratch = _scratch_dir()
+        if scratch:
+            builder = builder.config("spark.local.dir", scratch)
+            if "TMPDIR" not in os.environ:
+                os.environ["TMPDIR"] = scratch
+                import tempfile
+
+                tempfile.tempdir = None  # re-resolve from the new env
     if master is not None:
         builder = builder.master(master)
     if shuffle_partitions is not None:
