@@ -537,7 +537,18 @@ def _minhash_sig_of(docs: DataFrame, source: str = "relational") -> DataFrame:
     signatures."""
     if source == "arrow":
         return _minhash_sig_arrow_of(docs)
-    words = _words_of(docs)
+    # MinHash is set semantics: min over the doc's word MULTISET equals
+    # min over its word SET, so dedup within the doc at the array level
+    # (array_distinct, still inside the scan task — zero extra shuffle)
+    # before paying md5+conv per row. Distinct words per doc is never
+    # more than occurrences, so this only removes work (A/B: 1.62 vs
+    # 1.96s at sf1.0). Values are bit-identical (min over the same set).
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("w"),
+    )
     hm = (
         F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10)
         .cast("long") % _MH_MOD
