@@ -4081,34 +4081,28 @@ def docs_simhash_neardup(spark, sf_dir):
         "  struct(3 AS b, CAST(shiftright(simhash_hi, 16) & 65535 AS BIGINT) AS bv)"
         ")) AS band",
     ).select("doc_id", "simhash_lo", "simhash_hi", "band.b", "band.bv")
+    # Second pass: the band rows already carry both signature halves,
+    # so the Hamming verify runs INLINE in the band join (2 xor +
+    # bit_count per candidate — cheaper than shuffling the candidate)
+    # and the pair-dedup `distinct` moves AFTER the filter: only TRUE
+    # near-dup pairs (few) ever shuffle, where the previous shape
+    # shuffled every candidate pair through `distinct` and then joined
+    # the signatures back twice. A pair co-bucketed in k≤4 bands is
+    # verified k times — duplicated cheap arithmetic for an avoided
+    # exchange of the full candidate set (guide §2.2: shuffle fewer
+    # bytes). A/B: 1.8→1.3s at sf0.1, 4.4→2.3 at sfgen-1.0, 30→9.7 at
+    # sfgen-3.0 (near-dup-rich); rows identical at all three.
     a = bands.select(
-        F.col("b"), F.col("bv"), F.col("doc_id").alias("id_a")
+        "b", "bv", F.col("doc_id").alias("id_a"),
+        F.col("simhash_lo").alias("lo_a"), F.col("simhash_hi").alias("hi_a"),
     )
     c = bands.select(
-        F.col("b"), F.col("bv"), F.col("doc_id").alias("id_b")
+        "b", "bv", F.col("doc_id").alias("id_b"),
+        F.col("simhash_lo").alias("lo_b"), F.col("simhash_hi").alias("hi_b"),
     )
-    cand = (
+    return (
         a.join(F.broadcast(c), ["b", "bv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    x = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("simhash_lo").alias("lo_a"),
-        F.col("simhash_hi").alias("hi_a"),
-    )
-    y = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash_lo").alias("lo_b"),
-        F.col("simhash_hi").alias("hi_b"),
-    )
-    # the signature table is 24 B/doc — broadcast both verify sides so
-    # the candidate pairs never shuffle (guide §3.1); at 10^10 docs the
-    # materialized signature becomes the big side and these flip to the
-    # bucketed layout instead
-    return (
-        cand.join(F.broadcast(x), "id_a").join(F.broadcast(y), "id_b")
         .withColumn(
             "hamming",
             F.bit_count(F.expr("lo_a ^ lo_b"))
@@ -4116,6 +4110,7 @@ def docs_simhash_neardup(spark, sf_dir):
         )
         .where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
